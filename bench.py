@@ -1,0 +1,89 @@
+"""Headline benchmark: compositional 8-body guided DDPM sampling throughput.
+
+Metric: pair-window denoiser forwards per second during guided ancestral
+sampling with the flagship configuration of `scripts_paper/1D/cindm.sh:11`
+(8 bodies, n_composed=2 → 3 windows × C(8,2)=28 pairs per reverse step,
+design_guidance=standard-recurrence-10). The reference runs each of those
+forwards sequentially at ~0.02 s per batch-500 call (author timing comment,
+`model/diffusion_1d.py:1006`) → 500/0.02 = 25,000 pair-window forwards/s on
+the authors' GPU; that is the ``vs_baseline`` denominator.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FWDS_PER_SEC = 25_000.0
+
+
+def main():
+    from cindm_tpu.core import make_schedule
+    from cindm_tpu.models import TemporalUnet1D
+    from cindm_tpu.sampling import GuidanceSpec, get_design_fn, make_composed_eps_model
+    from cindm_tpu.sampling.sampler import p_sample_step
+
+    # flagship geometry: 8 bodies, 3 windows, horizon 24, recurrence 10
+    B = 64
+    N_BODIES, N_COMPOSED, CSS, SMS = 8, 2, 4, 24
+    RECURRENCE = 10
+    T_TOT = SMS + N_COMPOSED * CSS
+    N_STEPS_MEASURED = 25  # reverse steps timed (each = 10 rec × 3 win × 28 pairs)
+
+    model = TemporalUnet1D(horizon=SMS, transition_dim=8, dim=64, attention=True)
+    x0 = jnp.zeros((1, SMS, 8))
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros(1, jnp.int32))
+    params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+
+    base_eps = lambda x, t: model.apply(params, x, t)
+    eps_model = make_composed_eps_model(
+        base_eps, compose_n_bodies=N_BODIES, n_composed=N_COMPOSED,
+        compose_start_step=CSS, single_model_step=SMS,
+    )
+    sched = make_schedule(1000, "cosine")
+    design_fn = get_design_fn(jnp.array([0.5, 0.5]), last_n_step=1, coef=100.0)
+    guidance = GuidanceSpec.parse(f"standard-recurrence-{RECURRENCE}")
+
+    def run(img, key, t0):
+        def body(carry, i):
+            img, key = carry
+            key, k = jax.random.split(key)
+            img, _ = p_sample_step(
+                sched, eps_model, img, t0 - i, k,
+                design_fn=design_fn, guidance=guidance,
+            )
+            return (img, key), None
+
+        (img, _), _ = jax.lax.scan(body, (img, key), jnp.arange(N_STEPS_MEASURED))
+        return img
+
+    run_jit = jax.jit(run, static_argnums=())
+    key = jax.random.PRNGKey(1)
+    img = jax.random.normal(key, (B, T_TOT, N_BODIES * 4))
+
+    # warmup / compile
+    run_jit(img, key, jnp.int32(999)).block_until_ready()
+    t_start = time.perf_counter()
+    run_jit(img, key, jnp.int32(999)).block_until_ready()
+    dt = time.perf_counter() - t_start
+
+    n_pairs = N_BODIES * (N_BODIES - 1) // 2
+    fwds = N_STEPS_MEASURED * RECURRENCE * (N_COMPOSED + 1) * n_pairs * B
+    fwds_per_sec = fwds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "composed_8body_guided_ddpm_pairwindow_denoiser_fwds_per_sec",
+                "value": round(fwds_per_sec, 1),
+                "unit": "pair-window denoiser forwards / s (batch 64, recurrence 10)",
+                "vs_baseline": round(fwds_per_sec / BASELINE_FWDS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Design objectives & evaluation functions for n-body inverse design.
+
+Re-implements the objective builders of
+`inference/inverse_design_diffusion_1d.py:211-258` as pure jnp functions:
+the design objective is the (coef-scaled) mean-over-last-steps distance of
+every body's final position to a target point, optionally plus a
+time-consistency penalty.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _body_positions(pos: jax.Array) -> jax.Array:
+    """[..., steps, n_bodies*4] -> [..., steps, n_bodies, 2] (x, y only)."""
+    *lead, T, F = pos.shape
+    n_bodies = F // 4
+    return pos.reshape(*lead, T, n_bodies, 4)[..., :2]
+
+
+def get_design_fn(
+    pos_target: jax.Array,
+    last_n_step: int,
+    gamma: float = 2.0,
+    coef: float = 100.0,
+    time_consistency_coef: float = 0.0,
+    design_fn_mode: str = "L2",
+) -> Callable[[jax.Array], jax.Array]:
+    """Point-attraction objective (`inverse_design_diffusion_1d.py:211-229`)."""
+    assert pos_target.ndim == 1
+
+    def point_objective(pos: jax.Array) -> jax.Array:
+        p = _body_positions(pos)[..., -last_n_step:, :, :]  # [B, last, n, 2]
+        d = jnp.abs(p - pos_target) ** gamma
+        if design_fn_mode == "L2":
+            per = jnp.sum(d, axis=-1) ** (1.0 / gamma)  # [B, last, n]
+        elif design_fn_mode == "L2square":
+            per = jnp.sum(d, axis=-1)
+        else:
+            raise ValueError(design_fn_mode)
+        loss = jnp.sum(jnp.mean(per, axis=-2))  # mean over steps, sum over B and bodies
+        loss_total = loss * coef
+        if time_consistency_coef > 0:
+            xy = _body_positions(pos)
+            dv = xy[:, 1:] - xy[:, :-1]
+            loss_total = loss_total + (
+                jnp.sum(jnp.mean(jnp.sum(jnp.square(dv), axis=(-1, -2)), axis=-1))
+                * time_consistency_coef
+            )
+        return loss_total
+
+    return point_objective
+
+
+def get_eval_fn(
+    pos_target: jax.Array, last_n_step: int, gamma: float = 2.0
+) -> Callable[[jax.Array], jax.Array]:
+    """Mean final-distance metric (`inverse_design_diffusion_1d.py:231-238`)."""
+    assert pos_target.ndim == 1
+
+    def eval_fn(pos: jax.Array) -> jax.Array:
+        p = _body_positions(pos)[..., -last_n_step:, :, :]
+        per = jnp.sum(jnp.abs(p - pos_target) ** gamma, axis=-1) ** (1.0 / gamma)
+        return jnp.mean(per)
+
+    return eval_fn
+
+
+def get_eval_fn_per_sample(
+    pos_target: jax.Array, last_n_step: int = 1, gamma: float = 2.0
+) -> Callable[[jax.Array], jax.Array]:
+    """Per-sample losses [B] (`inverse_design_diffusion_1d.py:251-258`)."""
+    assert pos_target.ndim == 1
+
+    def eval_fn(pos: jax.Array) -> jax.Array:
+        p = _body_positions(pos)[..., -last_n_step:, :, :]
+        per = jnp.sum(jnp.abs(p - pos_target) ** gamma, axis=-1) ** (1.0 / gamma)  # [B, last, n]
+        return jnp.mean(per.reshape(per.shape[0], -1), axis=-1)
+
+    return eval_fn
+
+
+def confidence_interval_95(values: jax.Array) -> jax.Array:
+    """1.96·σ/√N half-width (`utils.py:1215-1239`)."""
+    n = values.shape[0]
+    return 1.96 * jnp.std(values) / jnp.sqrt(n)

@@ -1,0 +1,100 @@
+"""2D design objectives: ForceUnet-based lift/drag gradient + overlap penalty.
+
+Re-implements `inference/inverse_design_2d.py:85-146` as pure jnp: the design
+function returns the *gradient* of
+  λ_force·Σ_frames (λ·|drag| + lift)  +  λ_overlap·pairwise-mask-overlap
+w.r.t. the full state x, matching how the 2D sampler consumes it.
+Channel-last layout: x [B·nb, 64, 64, C], channels per frame (vx, vy, p),
+last 3 = (mask, offx, offy).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def unnormalize_state(pressure: jax.Array, p_min: float, p_max: float) -> jax.Array:
+    """[-1, 1] → [p_min, p_max] (`inverse_design_2d.py:86-87`)."""
+    return (0.5 * pressure + 0.5) * (p_max - p_min) + p_min
+
+
+def compute_overlap(matrix: jax.Array) -> jax.Array:
+    """Mean pairwise inner product across boundaries
+    (`inverse_design_2d.py:89-96`). matrix: [B, nb, H'*W']."""
+    inner = jnp.einsum("bnd,bmd->bnm", matrix, matrix)
+    nb = matrix.shape[1]
+    inner = inner * (1.0 - jnp.eye(nb)[None])
+    return jnp.mean(inner, axis=(-2, -1))
+
+
+def force_objective(
+    x: jax.Array,
+    force_model: Callable[[jax.Array], jax.Array],
+    batch_size: int,
+    num_boundaries: int,
+    frames: int,
+    p_min: float,
+    p_max: float,
+    lambda_force: float = 1.0,
+) -> jax.Array:
+    """Scalar Σ_B Σ_frames (λ·|drag| + lift) with boundaries summed across
+    the boundary axis before scoring (`inverse_design_2d.py:98-121`)."""
+    H, W = x.shape[1], x.shape[2]
+    boundary = x[..., -3:]
+    boundary = boundary.reshape(batch_size, num_boundaries, H, W, 3)
+    boundary = jnp.clip(jnp.sum(boundary, axis=1, keepdims=True), 0.0, 1.0)
+    boundary = jnp.broadcast_to(
+        boundary, (batch_size, num_boundaries, H, W, 3)
+    ).reshape(batch_size * num_boundaries, H, W, 3)
+
+    total = 0.0
+    for i in range(frames):
+        pressure = unnormalize_state(x[..., 2 + 3 * i : 3 + 3 * i], p_min, p_max)
+        inp = jnp.concatenate([pressure, boundary], axis=-1)  # [B·nb, H, W, 4]
+        ld = force_model(inp)  # [B·nb, 2] (drag, lift)
+        total = total + jnp.sum(lambda_force * jnp.abs(ld[:, 0]) + ld[:, 1])
+    return total
+
+
+def overlap_objective(
+    x: jax.Array, batch_size: int, num_boundaries: int, downsampling_factor: int = 4
+) -> jax.Array:
+    """Scalar Σ_B mean pairwise overlap of downsampled masks
+    (`inverse_design_2d.py:135-143`)."""
+    H, W = x.shape[1], x.shape[2]
+    mask = jnp.clip(x[..., -3], 0.0, 1.0).reshape(batch_size, num_boundaries, H, W)
+    f = downsampling_factor
+    m = mask.reshape(batch_size, num_boundaries, H // f, f, W // f, f).mean(axis=(3, 5))
+    m = m.reshape(batch_size, num_boundaries, -1)
+    return jnp.sum(compute_overlap(m))
+
+
+def make_design_grad_fn(
+    force_model: Callable[[jax.Array], jax.Array],
+    batch_size: int,
+    num_boundaries: int,
+    frames: int,
+    p_min: float,
+    p_max: float,
+    lambda_force: float = 1.0,
+    lambda_overlap: float = 1.0,
+) -> Callable[[jax.Array], jax.Array]:
+    """design_fn(x) → ∇x objective (`inverse_design_2d.py:208-214`)."""
+
+    def objective(x):
+        obj = force_objective(
+            x, force_model, batch_size, num_boundaries, frames, p_min, p_max, lambda_force
+        )
+        if num_boundaries > 1 and lambda_overlap != 0.0:
+            obj = obj + lambda_overlap * overlap_objective(x, batch_size, num_boundaries)
+        return obj
+
+    return jax.grad(objective)
+
+
+def mask_denoise(x: jax.Array, thre: float = 0.5) -> jax.Array:
+    """Threshold a soft mask to binary (`inverse_design_2d.py:148-150`)."""
+    return (x > thre).astype(x.dtype)

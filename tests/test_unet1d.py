@@ -1,0 +1,59 @@
+"""Shape and horizon-rule tests for TemporalUnet1D."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cindm_tpu.models.unet1d import TemporalUnet1D, _stage_flags
+
+
+def test_stage_flags_horizon24():
+    # 24 % 8 == 0: 3 downsamples, 3 upsamples (`model/diffusion_1d.py:549-603`)
+    downs, ups = _stage_flags(24, 4)
+    assert downs == [True, True, True, False]
+    assert ups == [True, True, True]
+
+
+def test_stage_flags_horizon44():
+    # 44 % 8 == 4, 44 % 4 == 0: 2 downs, up skipped at stage 0
+    downs, ups = _stage_flags(44, 4)
+    assert downs == [True, True, False, False]
+    assert ups == [False, True, True]
+
+
+def test_stage_flags_horizon34():
+    # 34 % 4 == 2, 34 % 2 == 0: 1 down, ups skipped at stages 0, 1
+    downs, ups = _stage_flags(34, 4)
+    assert downs == [True, False, False, False]
+    assert ups == [False, False, True]
+
+
+@pytest.mark.parametrize("horizon", [24, 44, 34])
+def test_forward_shapes(horizon):
+    model = TemporalUnet1D(horizon=horizon, transition_dim=8, dim=32, attention=True)
+    x = jnp.zeros((2, horizon, 8))
+    t = jnp.array([0, 999])
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == (2, horizon, 8)
+
+
+def test_forward_is_jittable_and_deterministic():
+    model = TemporalUnet1D(horizon=24, transition_dim=8, dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 8))
+    t = jnp.array([10, 500])
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    f = jax.jit(model.apply)
+    o1 = f(params, x, t)
+    o2 = f(params, x, t)
+    assert jnp.allclose(o1, o2)
+    assert jnp.all(jnp.isfinite(o1))
+
+
+def test_time_embedding_changes_output():
+    model = TemporalUnet1D(horizon=24, transition_dim=8, dim=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 8))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.array([0]))
+    o1 = model.apply(params, x, jnp.array([0]))
+    o2 = model.apply(params, x, jnp.array([900]))
+    assert not jnp.allclose(o1, o2)
