@@ -1,0 +1,113 @@
+"""design_2d — multi-airfoil guided inverse design CLI.
+
+Mirrors `inference/inverse_design_2d.py:37-82` flags: loads the airfoil
+diffusion + ForceUnet surrogate, samples num_boundaries designs with
+"standard-alpha" guidance, post-processes masks to polygons, rejects
+overlaps, and (closed loop) scores lift/drag by re-simulating with the
+on-device BDIM solver — replacing the reference's boundary-txt → LilyPad
+(Java) → force-txt pipeline (`inverse_design_2d.py:261-342` + E5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Multi-airfoil inverse design (TPU)")
+    p.add_argument("--model_path", default="./results/airfoil")
+    p.add_argument("--force_model_path", default=None)
+    p.add_argument("--milestone", type=int, default=None)
+    p.add_argument("--num_boundaries", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--design_guidance", default="standard-alpha")
+    p.add_argument("--coeff_ratio", type=float, default=2e-4)
+    p.add_argument("--lambda_force", type=float, default=1.0)
+    p.add_argument("--lambda_overlap", type=float, default=1.0)
+    p.add_argument("--share_noise", type=lambda s: s == "True", default=True)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--p_min", type=float, default=-1.0)
+    p.add_argument("--p_max", type=float, default=1.0)
+    p.add_argument("--evaluate", type=lambda s: s == "True", default=True)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv=None):
+    from ..core import make_schedule
+    from ..models.unet2d import ForceUnet, Unet2D
+    from ..sampling.diffusion2d import Diffusion2DConfig, p_sample_loop_2d
+    from ..sampling.guidance2d import make_design_grad_fn, mask_denoise
+    from ..train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
+    from ..utils import evaluate_designs, polygons_overlap, reconstruct_boundary
+
+    args = build_parser().parse_args(argv)
+    cfg = Diffusion2DConfig(timesteps=args.timesteps, coeff_ratio=args.coeff_ratio,
+                            share_noise=args.share_noise)
+    model = Unet2D(dim=64, dim_mults=(1, 2), channels=cfg.channels)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, cfg.channels)), jnp.zeros(1, jnp.int32)
+    )
+    mngr = CheckpointManager(args.model_path)
+    template = init_train_state(params, make_optimizer(TrainConfig()))
+    state = mngr.load(args.milestone, template=template)
+    params = state["ema_params"]
+
+    fm = ForceUnet(dim=64, dim_mults=(1, 2, 4, 8))
+    fkey = jax.random.PRNGKey(1)
+    fparams = fm.init(fkey, jnp.zeros((1, 64, 64, 4)))
+    if args.force_model_path:
+        fmngr = CheckpointManager(args.force_model_path)
+        fstate = fmngr.load(template=init_train_state(fparams, make_optimizer(TrainConfig())))
+        fparams = fstate["ema_params"]
+    force_model = lambda x: fm.apply(fparams, x)
+
+    design_fn = make_design_grad_fn(
+        force_model, args.batch_size, args.num_boundaries, cfg.frames,
+        args.p_min, args.p_max, args.lambda_force, args.lambda_overlap,
+    )
+    sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
+    eps = lambda x, t: model.apply(params, x, t)
+    out = p_sample_loop_2d(
+        cfg, sched, eps, jax.random.PRNGKey(args.seed),
+        batch=args.batch_size, num_boundaries=args.num_boundaries,
+        design_fn=design_fn, design_guidance=args.design_guidance,
+    )
+    # post-process: mask → polygons, reject overlapping designs
+    out_np = np.asarray(out)
+    results = []
+    for b in range(args.batch_size):
+        masks = np.asarray(mask_denoise(out_np[b, :, :62, :62, -3]))
+        if args.num_boundaries > 1 and polygons_overlap(masks):
+            continue
+        polys = []
+        for k in range(args.num_boundaries):
+            ps = reconstruct_boundary(masks[k], out_np[b, k, :62, :62, -2:])
+            if len(ps) != 1:
+                break
+            polys.append(ps[0])
+        if len(polys) == args.num_boundaries:
+            results.append(polys)
+    print(f"valid designs: {len(results)}/{args.batch_size}")
+
+    record = {"valid_designs": len(results), "batch_size": args.batch_size}
+    if args.evaluate and results:
+        # pad polygons to a fixed point count for batching
+        M = max(len(p) for polys in results for p in polys)
+        batchpolys = np.stack([
+            np.stack([np.pad(p, ((0, M - len(p)), (0, 0)), mode="edge") for p in polys])
+            for polys in results
+        ])
+        scores = evaluate_designs(batchpolys, n_warmup=60, n_record=40)
+        record.update({k: v for k, v in scores.items() if k != "forces"})
+    print(json.dumps(record))
+    return record
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""train_2d — airfoil diffusion training CLI.
+
+Mirrors `train/train_2d.py:7-26` flags (cond_frames 2, pred_frames 4,
+ts 4, batch 48, is_testdata default True = smoke run). Data comes from the
+on-device BDIM solver instead of pre-generated LilyPad dumps.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train airfoil diffusion (TPU)")
+    p.add_argument("--cond_frames", type=int, default=2)
+    p.add_argument("--pred_frames", type=int, default=4)
+    p.add_argument("--ts", type=int, default=4, help="time interval")
+    p.add_argument("--batch_size", type=int, default=48)
+    p.add_argument("--train_num_steps", type=int, default=6)
+    p.add_argument("--save_and_sample_every", type=int, default=2)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--is_testdata", type=lambda s: s == "True", default=True)
+    p.add_argument("--n_sims", type=int, default=4)
+    p.add_argument("--results_folder", default="./results/airfoil")
+    p.add_argument("--data_cache", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    from ..core import make_schedule
+    from ..data.airfoil import AirfoilDataset, AirfoilDatasetConfig, generate_airfoil_sims
+    from ..models.unet2d import Unet2D
+    from ..physics.bdim import BDIMConfig
+    from ..sampling.diffusion2d import Diffusion2DConfig
+    from ..train import (
+        CheckpointManager,
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step_2d,
+    )
+
+    args = build_parser().parse_args(argv)
+    acfg = AirfoilDatasetConfig(
+        input_steps=args.cond_frames, output_steps=args.pred_frames,
+        time_interval=args.ts,
+        time_stamps=40 if args.is_testdata else 100,
+        n_warmup=60 if args.is_testdata else 300,
+    )
+    data = generate_airfoil_sims(
+        args.seed, args.n_sims, acfg, BDIMConfig(), cache_dir=args.data_cache
+    )
+    ds = AirfoilDataset(data, acfg)
+
+    cfg = Diffusion2DConfig(
+        frames=args.cond_frames + args.pred_frames,
+        cond_frames=args.cond_frames,
+        pred_frames=args.pred_frames,
+        timesteps=args.timesteps,
+    )
+    model = Unet2D(dim=64, dim_mults=(1, 2), channels=cfg.channels)
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(key, jnp.zeros((1, 64, 64, cfg.channels)), jnp.zeros(1, jnp.int32))
+    print(f"Number of parameter: {sum(p.size for p in jax.tree.leaves(params))/1e6:.2f}M")
+
+    sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
+    tcfg = TrainConfig()
+    state = init_train_state(params, make_optimizer(tcfg))
+    step = make_train_step_2d(model.apply, cfg, sched, tcfg)
+    mngr = CheckpointManager(args.results_folder)
+    it = ds.iterate_batches(min(args.batch_size, len(ds)), seed=args.seed)
+    for i in range(args.train_num_steps):
+        b = next(it)
+        batch = {"x": jnp.asarray(b["x"]), "cond": jnp.asarray(b["cond"])}
+        state, loss = step(state, batch, jax.random.fold_in(key, i))
+        if (i + 1) % args.save_and_sample_every == 0:
+            mngr.save((i + 1) // args.save_and_sample_every, state)
+        print(f"step {i+1}: loss {float(loss):.6f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

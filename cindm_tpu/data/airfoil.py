@@ -1,0 +1,232 @@
+"""Airfoil (naca_ellipse) dataset: BDIM-generated flows + reference windowing.
+
+Re-designs the reference `Ellipse` dataset (`data/airfoil_dataset.py:15-458`)
+without the LilyPad/Java dependency: trajectories are produced by the
+on-device BDIM solver (``physics.bdim``), and the same windowing /
+normalization semantics are applied:
+
+- fields are 62×62 crops [row = y, col = x] of (vx, vy, p)
+  (LilyPad saves interiors 1..62 of the 64² grid, `SaveVectorField.pde:123-144`)
+- global min-max normalization of each channel to [-1, 1], NaN → 0
+  (`data/airfoil_dataset.py:96-167, 344-369`)
+- boundary polygon (40 points, grid units) normalized by /62 to [-1, 1]
+  (`data/airfoil_dataset.py:376-379`)
+- boundary mask = cells containing polygon points; boundary offset =
+  point − (cell + 0.5) ∈ [-0.5, 0.5]², the inverse of
+  `reconstruct_boundary` (`utils.py:581-601`)
+- windows: cond frames at ``time_interval`` before t, pred frames after
+  (`data/airfoil_dataset.py:338-372`)
+
+Batch layout for the 2D diffusion trainer (`model/diffusion_2d.py:1279-1304`):
+x_start = [pred_frames·3 ∥ mask ∥ offx ∥ offy] and cond = [cond_frames·3],
+both padded 62→64 and channel-last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics.bdim import (
+    BDIMConfig,
+    ellipse_coords,
+    naca_coords,
+    rotate_coords,
+    simulate_flow,
+)
+
+
+@dataclasses.dataclass
+class AirfoilDatasetConfig:
+    input_steps: int = 2  # cond_frames (`train/train_2d.py:12-13`)
+    output_steps: int = 4  # pred_frames
+    time_interval: int = 4
+    time_stamps: int = 100  # recorded frames per sim (`LilyPad.pde` stime..etime)
+    n_warmup: int = 300  # LilyPad records from t=300
+    grid: int = 64
+    crop: int = 62
+
+
+def sample_boundary_params(rng: np.random.Generator, grid: int = 64) -> dict:
+    """Random ellipse/NACA geometry like the reference's designed-boundary
+    configs (`LilyPad.pde:110-126`: params (x, y, size, aspect/thick, angle))."""
+    kind = int(rng.integers(0, 2))
+    x = float(rng.uniform(grid * 0.25, grid * 0.45))
+    y = float(rng.uniform(grid * 0.4, grid * 0.6))
+    angle = float(rng.uniform(-0.4, 0.4))
+    if kind == 0:
+        h = float(rng.uniform(grid * 0.12, grid * 0.25))
+        aspect = float(rng.uniform(1.0, 3.0))
+        return dict(kind="ellipse", x=x, y=y, h=h, aspect=aspect, angle=angle)
+    c = float(rng.uniform(grid * 0.2, grid * 0.35))
+    t = float(rng.uniform(0.08, 0.2))
+    return dict(kind="naca", x=x, y=y, c=c, t=t, angle=angle)
+
+
+def boundary_coords(params: dict) -> np.ndarray:
+    """40-point polygon in grid units from sampled params."""
+    if params["kind"] == "ellipse":
+        c = ellipse_coords(params["x"], params["y"], params["h"], params["aspect"], m=40)
+    else:
+        c = naca_coords(params["x"], params["y"], params["c"], params["t"], m=20)
+    return rotate_coords(c, (params["x"], params["y"]), params["angle"])
+
+
+def boundary_mask_offset(coords: np.ndarray, crop: int = 62) -> tuple[np.ndarray, np.ndarray]:
+    """Rasterize polygon points to (mask [crop, crop], offset [crop, crop, 2]);
+    arrays indexed [row=y, col=x]; offset = point − (cell + 0.5)."""
+    mask = np.zeros((crop, crop), np.float32)
+    offset = np.zeros((crop, crop, 2), np.float32)
+    counts = np.zeros((crop, crop), np.float32)
+    x = np.clip(coords[:, 0], 0.5, crop + 0.5)
+    y = np.clip(coords[:, 1], 0.5, crop + 0.5)
+    xi = np.minimum(x.astype(np.int32), crop - 1)
+    yi = np.minimum(y.astype(np.int32), crop - 1)
+    for k in range(len(coords)):
+        mask[yi[k], xi[k]] = 1.0
+        offset[yi[k], xi[k], 0] += x[k] - (xi[k] + 0.5)
+        offset[yi[k], xi[k], 1] += y[k] - (yi[k] + 0.5)
+        counts[yi[k], xi[k]] += 1.0
+    nz = counts > 0
+    offset[nz] /= counts[nz][:, None]
+    return mask, offset
+
+
+def generate_airfoil_sims(
+    seed: int,
+    n_sims: int,
+    cfg: Optional[AirfoilDatasetConfig] = None,
+    bdim_cfg: Optional[BDIMConfig] = None,
+    cache_dir: Optional[str] = None,
+) -> dict:
+    """Run BDIM for ``n_sims`` random boundaries; returns dict of numpy arrays:
+    fields [S, T, 62, 62, 3] (vx, vy, p — [row=y, col=x]), boundary [S, 40, 2],
+    mask [S, 62, 62], offset [S, 62, 62, 2], forces [S, T, 1, 2]."""
+    cfg = cfg or AirfoilDatasetConfig()
+    bdim_cfg = bdim_cfg or BDIMConfig(n=cfg.grid)
+    if cache_dir is not None and os.path.exists(os.path.join(cache_dir, "fields.npy")):
+        return {
+            k: np.load(os.path.join(cache_dir, f"{k}.npy"))
+            for k in ("fields", "boundary", "mask", "offset", "forces")
+        }
+    rng = np.random.default_rng(seed)
+    fields, bounds, masks, offs, forces = [], [], [], [], []
+    for s in range(n_sims):
+        coords = boundary_coords(sample_boundary_params(rng, cfg.grid))
+        (us, vs, ps), fs = simulate_flow(
+            bdim_cfg, jnp.asarray(coords, jnp.float32), cfg.n_warmup, cfg.time_stamps
+        )
+        c = cfg.crop
+        # solver arrays are [i=x, j=y]; datasets store [row=y, col=x] →
+        # transpose, then crop cells 1..62 (already cropped to interior 64²,
+        # take the first 62)
+        f = np.stack(
+            [
+                np.transpose(np.asarray(us), (0, 2, 1))[:, :c, :c],
+                np.transpose(np.asarray(vs), (0, 2, 1))[:, :c, :c],
+                np.transpose(np.asarray(ps), (0, 2, 1))[:, :c, :c],
+            ],
+            axis=-1,
+        )
+        m, o = boundary_mask_offset(coords, c)
+        fields.append(f)
+        bounds.append(coords.astype(np.float32))
+        masks.append(m)
+        offs.append(o)
+        forces.append(np.asarray(fs))
+    out = {
+        "fields": np.stack(fields),
+        "boundary": np.stack(bounds),
+        "mask": np.stack(masks),
+        "offset": np.stack(offs),
+        "forces": np.stack(forces),
+    }
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        for k, v in out.items():
+            np.save(os.path.join(cache_dir, f"{k}.npy"), v)
+    return out
+
+
+class AirfoilDataset:
+    """Windowed airfoil dataset with the reference normalization semantics."""
+
+    def __init__(self, data: dict, cfg: Optional[AirfoilDatasetConfig] = None):
+        self.cfg = cfg or AirfoilDatasetConfig()
+        self.data = data
+        c = self.cfg
+        self.t_cushion_input = max(c.input_steps * c.time_interval, 1)
+        self.t_cushion_output = max(c.output_steps * c.time_interval, 1)
+        self.time_stamps_effective = (
+            c.time_stamps - self.t_cushion_input - self.t_cushion_output
+        ) // c.time_interval
+        f = data["fields"]
+        self.n_simu = f.shape[0]
+        # global min-max per channel (`data/airfoil_dataset.py:96-167`)
+        self.x_min, self.x_max = float(f[..., 0].min()), float(f[..., 0].max())
+        self.y_min, self.y_max = float(f[..., 1].min()), float(f[..., 1].max())
+        self.p_min, self.p_max = float(f[..., 2].min()), float(f[..., 2].max())
+
+    def __len__(self) -> int:
+        return self.time_stamps_effective * self.n_simu
+
+    def _norm(self, frames: np.ndarray) -> np.ndarray:
+        lo = np.array([self.x_min, self.y_min, self.p_min], np.float32)
+        hi = np.array([self.x_max, self.y_max, self.p_max], np.float32)
+        out = (np.clip((frames - lo) / (hi - lo), 0, 1) - 0.5) * 2
+        return np.nan_to_num(out, nan=0.0)
+
+    def get_window(self, idx: int) -> dict:
+        c = self.cfg
+        sim_id, time_id = divmod(idx, self.time_stamps_effective)
+        mid = time_id * c.time_interval + self.t_cushion_input
+        f = self.data["fields"][sim_id]
+        x = np.stack(
+            [f[mid + j] for j in range(-c.input_steps * c.time_interval, 0, c.time_interval)]
+        )
+        y = np.stack(
+            [f[mid + j] for j in range(0, c.output_steps * c.time_interval, c.time_interval)]
+        )
+        return {
+            "x": self._norm(x),  # [cond_frames, 62, 62, 3]
+            "y": self._norm(y),  # [pred_frames, 62, 62, 3]
+            "mask": self.data["mask"][sim_id],
+            "offset": self.data["offset"][sim_id],
+            "boundary": (
+                np.clip(self.data["boundary"][sim_id] / 62.0, 0, 1) - 0.5
+            ) * 2,
+            "sim_id": sim_id,
+        }
+
+    def get_batch(self, indices: np.ndarray) -> dict:
+        """Diffusion-ready batch (`model/diffusion_2d.py:1279-1304`): pads
+        62→64, packs x_start = [pred·3 ∥ mask ∥ off] and cond = [cond·3],
+        channel-last [B, 64, 64, C]."""
+        c = self.cfg
+        xs, ys = [], []
+        for i in indices:
+            w = self.get_window(int(i))
+            # frames [T, 62, 62, 3] → [62, 62, T*3]
+            cond = np.concatenate(list(w["x"]), axis=-1)
+            pred = np.concatenate(list(w["y"]), axis=-1)
+            aux = np.concatenate([w["mask"][..., None], w["offset"]], axis=-1)
+            x_start = np.concatenate([pred, aux], axis=-1)
+            pad = ((0, 2), (0, 2), (0, 0))
+            xs.append(np.pad(x_start, pad))
+            ys.append(np.pad(cond, pad))
+        return {"x": np.stack(xs).astype(np.float32), "cond": np.stack(ys).astype(np.float32)}
+
+    def iterate_batches(self, batch_size: int, seed: int = 0, loop: bool = True) -> Iterator[dict]:
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        while True:
+            perm = rng.permutation(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                yield self.get_batch(perm[i : i + batch_size])
+            if not loop:
+                return

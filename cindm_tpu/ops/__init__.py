@@ -1,0 +1,1 @@
+from .precision import bf16_eps_model, cast_floating

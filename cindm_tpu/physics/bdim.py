@@ -1,0 +1,539 @@
+"""BDIM immersed-boundary Navier-Stokes solver — on-device LilyPad replacement.
+
+TPU-native re-design of the LilyPad Processing/Java solver
+(`lily-pad/LilyPad/BDIM.pde`, `Field.pde`, `VectorField.pde`,
+`PoissonMatrix.pde`, `MG.pde`, 5.8k LoC), the ground-truth simulator and
+evaluator for the airfoil task (SURVEY.md §2.5 N1). Where LilyPad steps one
+simulation in a Java applet, this solver advances a whole **batch** of
+candidate designs under `vmap` + `lax.scan`, entirely on device, so
+closed-loop design scoring needs no host process.
+
+Numerics preserved from the reference (semi-Lagrangian branch, the one the
+airfoil evaluation uses — `LilyPad.pde:131` constructs `BDIM(n,n,1.,body)`
+⇒ QUICK=false, ν=0):
+
+- staggered faces on an (n+2)² grid with ghost cells; u at (i-½, j),
+  v at (i, j-½), p at centers (`BDIM.pde:43-66`)
+- BDIM equation u = δ₀·F + (1-δ₀)·u_b + δ₁·∂ₙ(F-u_b) with kernel moments
+  δ₀(d) = ½(1+d+sin(πd)/π), δ₁(d) = ε·[¼(1-d²) − (1/2π)(d·sin(πd) +
+  (1/π)(1+cos(πd)))], d = clamp(dist/ε, ±1), ε = 2 (`Body.pde:207-212`)
+- RK2 semi-Lagrangian advection with limited quadratic interpolation
+  (`Field.pde:98-174`)
+- predictor + corrector steps (`BDIM.pde:82-118`)
+- variable-coefficient Poisson projection div(c·∇p) = div(u)
+  (`VectorField.pde:130-143`, `PoissonMatrix.pde:33-51`); LilyPad uses
+  multigrid (`MG.pde`), here a Jacobi-preconditioned conjugate-gradient
+  with a fixed iteration count — stencil matvecs XLA fuses well, and the
+  fixed count keeps the step a static graph inside `lax.scan`
+- inlet u = u∞, gradient exit with global mass-flux correction
+  (`Field.pde:210-238`)
+- pressure force = ∮ p n dl over polygon segments (`Body.pde:311-318`)
+
+Array convention follows LilyPad: a[i, j] with i the x index — note this is
+the transpose of the image convention used by the saved 64×64 datasets
+(`SaveVectorField.pde:123-144` writes row-major over j).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# geometry
+
+
+def ellipse_coords(x: float, y: float, h: float, aspect: float, m: int = 40) -> np.ndarray:
+    """EllipseBody polygon (`Body.pde:397-413`): height h, width h/aspect."""
+    dx, dy = 0.5 * h / aspect, 0.5 * h
+    theta = -2 * np.pi * np.arange(m) / m
+    return np.stack([x + dx * np.cos(theta), y + dy * np.sin(theta)], -1)
+
+
+def _naca_offset(x: np.ndarray) -> np.ndarray:
+    return 5 * (
+        0.2969 * np.sqrt(x) - 0.126 * x - 0.3516 * x**2 + 0.2843 * x**3 - 0.1015 * x**4
+    )
+
+
+def naca_coords(
+    x: float, y: float, c: float, t: float, pivot: float = 0.25, m: int = 20
+) -> np.ndarray:
+    """DiscNACA polygon (`NACA.pde:80-128`): chord c, thickness ratio t."""
+    pts = [(x - c * pivot, y)]
+    for i in range(1, m):
+        xx = (i / m) ** 2
+        pts.append((x + c * (xx - pivot), y + t * c * float(_naca_offset(np.array(xx)))))
+    pts.append((x + c * (1 - pivot), y))
+    for i in range(m - 1, 0, -1):
+        xx = (i / m) ** 2
+        pts.append((x + c * (xx - pivot), y - t * c * float(_naca_offset(np.array(xx)))))
+    return np.array(pts)
+
+
+def rotate_coords(coords: np.ndarray, center, dphi: float) -> np.ndarray:
+    """Body.rotate (`Body.pde:267-279`)."""
+    sa, ca = np.sin(dphi), np.cos(dphi)
+    z = coords - np.asarray(center)
+    return np.stack([ca * z[:, 0] - sa * z[:, 1], sa * z[:, 0] + ca * z[:, 1]], -1) + np.asarray(
+        center
+    )
+
+
+def polygon_sdf(coords: jax.Array, qx: jax.Array, qy: jax.Array) -> jax.Array:
+    """Signed distance to a closed polygon: positive outside (LilyPad's
+    `distance` convention). coords [M, 2]; qx/qy broadcastable query grids."""
+    a = coords
+    b = jnp.roll(coords, -1, axis=0)
+    q = jnp.stack([qx, qy], axis=-1)[..., None, :]  # [..., 1, 2]
+    pa = q - a
+    ab = b - a
+    t = jnp.clip(
+        jnp.sum(pa * ab, -1) / jnp.maximum(jnp.sum(ab * ab, -1), 1e-12), 0.0, 1.0
+    )
+    closest = a + t[..., None] * ab
+    d = jnp.sqrt(jnp.sum((q - closest) ** 2, -1) + 1e-20)
+    dist = jnp.min(d, axis=-1)
+    # even-odd crossing test for inside/outside
+    ay, by = a[:, 1], b[:, 1]
+    ax, bx = a[:, 0], b[:, 0]
+    cond = (ay <= qy[..., None]) != (by <= qy[..., None])
+    denom = jnp.where(jnp.abs(by - ay) < 1e-12, 1e-12, by - ay)
+    xint = ax + (qy[..., None] - ay) / denom * (bx - ax)
+    crossings = jnp.sum(cond & (qx[..., None] < xint), axis=-1)
+    inside = crossings % 2 == 1
+    return jnp.where(inside, -dist, dist)
+
+
+def multi_polygon_sdf(coords: jax.Array, qx: jax.Array, qy: jax.Array) -> jax.Array:
+    """min over a stack of polygons [K, M, 2] (BodyUnion, `BodyUnion.pde`)."""
+    if coords.ndim == 2:
+        return polygon_sdf(coords, qx, qy)
+    d = jax.vmap(lambda c: polygon_sdf(c, qx, qy))(coords)
+    return jnp.min(d, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# BDIM kernel moments
+
+
+def delta0(d: jax.Array) -> jax.Array:
+    return 0.5 * (1.0 + d + jnp.sin(jnp.pi * d) / jnp.pi)
+
+
+def delta1(d: jax.Array, eps: float) -> jax.Array:
+    return eps * (
+        0.25 * (1.0 - d * d)
+        - 1.0 / (2 * jnp.pi) * (d * jnp.sin(d * jnp.pi) + (1.0 / jnp.pi) * (1.0 + jnp.cos(d * jnp.pi)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# field ops (all on [N, N] arrays, ghost ring included, a[i, j] = (x=i, y=j))
+
+
+def set_bc_u(a: jax.Array, u_inf: float) -> jax.Array:
+    """btype=1 with gradientExit (`Field.pde:210-238`): inlet fixed at u∞,
+    zero-gradient exit corrected to conserve global mass flux."""
+    a = a.at[0, :].set(a[1, :])
+    a = a.at[-1, :].set(a[-2, :])
+    a = a.at[1, :].set(u_inf)
+    s = jnp.mean(a[-1, 1:-1])
+    a = a.at[-1, 1:-1].add(u_inf - s)
+    a = a.at[:, 0].set(a[:, 1])
+    a = a.at[:, -1].set(a[:, -2])
+    return a
+
+
+def set_bc_v(a: jax.Array) -> jax.Array:
+    """btype=2, bval=0: solid top/bottom, copy left/right."""
+    a = a.at[0, :].set(a[1, :])
+    a = a.at[-1, :].set(a[-2, :])
+    a = a.at[:, 1].set(0.0)
+    a = a.at[:, -1].set(0.0)
+    a = a.at[:, 0].set(a[:, 1])
+    return a
+
+
+def set_bc_p(a: jax.Array) -> jax.Array:
+    a = a.at[0, :].set(a[1, :])
+    a = a.at[-1, :].set(a[-2, :])
+    a = a.at[:, 0].set(a[:, 1])
+    a = a.at[:, -1].set(a[:, -2])
+    return a
+
+
+def _bilinear(a: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Field.linear on array indices (`Field.pde:175-190`); x/y already
+    offset for the staggering."""
+    N, M = a.shape
+    x = jnp.clip(x, 0.5, N - 1.5)
+    y = jnp.clip(y, 0.5, M - 1.5)
+    i = jnp.minimum(x.astype(jnp.int32), N - 2)
+    j = jnp.minimum(y.astype(jnp.int32), M - 2)
+    s = x - i
+    t = y - j
+    return s * (t * a[i + 1, j + 1] + (1 - t) * a[i + 1, j]) + (1 - s) * (
+        t * a[i, j + 1] + (1 - t) * a[i, j]
+    )
+
+
+def _quadratic1d(x, e, f, g):
+    x2 = x * x
+    fx = f * (1.0 - x2) + (g * (x2 + x) + e * (x2 - x)) * 0.5
+    fx = jnp.minimum(fx, jnp.maximum(jnp.maximum(e, f), g))
+    fx = jnp.maximum(fx, jnp.minimum(jnp.minimum(e, f), g))
+    return fx
+
+
+def _quadratic(a: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Limited quadratic interpolation (`Field.pde:154-174`), falling back to
+    bilinear near the boundary ring."""
+    N, M = a.shape
+    i = jnp.round(x).astype(jnp.int32)
+    j = jnp.round(y).astype(jnp.int32)
+    ic = jnp.clip(i, 1, N - 2)
+    jc = jnp.clip(j, 1, M - 2)
+    fx = x - ic
+    fy = y - jc
+    e = _quadratic1d(fx, a[ic - 1, jc - 1], a[ic, jc - 1], a[ic + 1, jc - 1])
+    f = _quadratic1d(fx, a[ic - 1, jc], a[ic, jc], a[ic + 1, jc])
+    g = _quadratic1d(fx, a[ic - 1, jc + 1], a[ic, jc + 1], a[ic + 1, jc + 1])
+    q = _quadratic1d(fy, e, f, g)
+    out_of_range = (i > N - 2) | (i < 1) | (j > M - 2) | (j < 1)
+    return jnp.where(out_of_range, _bilinear(a, x, y), q)
+
+
+def _face_grids(N: int):
+    i = jnp.arange(N, dtype=jnp.float32)[:, None]
+    j = jnp.arange(N, dtype=jnp.float32)[None, :]
+    i = jnp.broadcast_to(i, (N, N))
+    j = jnp.broadcast_to(j, (N, N))
+    return i, j
+
+
+def advect_single(a: jax.Array, ux: jax.Array, uy: jax.Array, dt: float, btype: int) -> jax.Array:
+    """First-step semi-Lagrangian advection (`Field.pde:128-152`)."""
+    N = a.shape[0]
+    i, j = _face_grids(N)
+    x = i - (0.5 if btype == 1 else 0.0)
+    y = j - (0.5 if btype == 2 else 0.0)
+    # staggered .linear offsets: u-field adds 0.5 to x, v-field to y
+    ax = -dt * _bilinear(ux, x + 0.5, y)
+    ay = -dt * _bilinear(uy, x, y + 0.5)
+    xs = x + ax + (0.5 if btype == 1 else 0.0)
+    ys = y + ay + (0.5 if btype == 2 else 0.0)
+    return _quadratic(a, xs, ys)
+
+
+def advect_double(
+    a: jax.Array, ux, uy, u0x, u0y, dt: float, btype: int
+) -> jax.Array:
+    """RK2 two-velocity advection (`Field.pde:98-124`)."""
+    N = a.shape[0]
+    i, j = _face_grids(N)
+    x = i - (0.5 if btype == 1 else 0.0)
+    y = j - (0.5 if btype == 2 else 0.0)
+    ax = -dt * _bilinear(ux, x + 0.5, y)
+    ay = -dt * _bilinear(uy, x, y + 0.5)
+    bx = -dt * _bilinear(u0x, x + ax + 0.5, y + ay)
+    by = -dt * _bilinear(u0y, x + ax, y + ay + 0.5)
+    xs = x + 0.5 * (ax + bx) + (0.5 if btype == 1 else 0.0)
+    ys = y + 0.5 * (ay + by) + (0.5 if btype == 2 else 0.0)
+    return _quadratic(a, xs, ys)
+
+
+def divergence(ux: jax.Array, uy: jax.Array) -> jax.Array:
+    """`VectorField.divergence` (`VectorField.pde:56-65`), interior only."""
+    d = jnp.zeros_like(ux)
+    d = d.at[1:-1, 1:-1].set(
+        ux[2:, 1:-1] - ux[1:-1, 1:-1] + uy[1:-1, 2:] - uy[1:-1, 1:-1]
+    )
+    return d
+
+
+def gradient(p: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Field.gradient (`Field.pde:71-81`), interior only."""
+    gx = jnp.zeros_like(p)
+    gy = jnp.zeros_like(p)
+    gx = gx.at[1:-1, 1:-1].set(p[1:-1, 1:-1] - p[:-2, 1:-1])
+    gy = gy.at[1:-1, 1:-1].set(p[1:-1, 1:-1] - p[1:-1, :-2])
+    return gx, gy
+
+
+def normal_grad(a: jax.Array, wnx: jax.Array, wny: jax.Array) -> jax.Array:
+    """wn·∇a with central differences (`VectorField.pde:46-54`)."""
+    g = jnp.zeros_like(a)
+    g = g.at[1:-1, 1:-1].set(
+        0.5
+        * (
+            wnx[1:-1, 1:-1] * (a[2:, 1:-1] - a[:-2, 1:-1])
+            + wny[1:-1, 1:-1] * (a[1:-1, 2:] - a[1:-1, :-2])
+        )
+    )
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Poisson projection
+
+
+def poisson_matvec(cx: jax.Array, cy: jax.Array, p: jax.Array) -> jax.Array:
+    """5-point variable-coefficient Laplacian A·p (`PoissonMatrix.pde:33-68`),
+    interior only; ghost entries stay zero."""
+    out = (
+        cx[1:-1, 1:-1] * (p[:-2, 1:-1] - p[1:-1, 1:-1])
+        + cx[2:, 1:-1] * (p[2:, 1:-1] - p[1:-1, 1:-1])
+        + cy[1:-1, 1:-1] * (p[1:-1, :-2] - p[1:-1, 1:-1])
+        + cy[1:-1, 2:] * (p[1:-1, 2:] - p[1:-1, 1:-1])
+    )
+    return jnp.zeros_like(p).at[1:-1, 1:-1].set(out)
+
+
+def poisson_solve_cg(
+    cx: jax.Array, cy: jax.Array, b: jax.Array, x0: jax.Array, iters: int = 60
+) -> jax.Array:
+    """Jacobi-preconditioned CG with a fixed iteration count (replaces the
+    reference multigrid `MG.pde`; fixed count keeps the graph static)."""
+    diag = jnp.zeros_like(b).at[1:-1, 1:-1].set(
+        -(cx[1:-1, 1:-1] + cx[2:, 1:-1] + cy[1:-1, 1:-1] + cy[1:-1, 2:])
+    )
+    inv = jnp.where(jnp.abs(diag) > 1e-5, -1.0 / jnp.where(diag == 0, 1.0, diag), 1.0)
+    # solve (-A) x = (-b): -A is SPD on the interior (modulo constants)
+    interior = jnp.zeros_like(b).at[1:-1, 1:-1].set(1.0)
+
+    def amul(x):
+        return -poisson_matvec(cx, cy, x) * interior
+
+    bb = -b * interior
+    x = x0 * interior
+    r = bb - amul(x)
+    z = inv * r * interior
+    rho = jnp.sum(r * z)
+
+    def body(k, carry):
+        x, r, pvec, rho = carry
+        ap = amul(pvec)
+        denom = jnp.sum(pvec * ap)
+        alpha = rho / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        x = x + alpha * pvec
+        r = r - alpha * ap
+        z = inv * r * interior
+        rho_new = jnp.sum(r * z)
+        beta = rho_new / jnp.where(jnp.abs(rho) < 1e-30, 1e-30, rho)
+        return x, r, z + beta * pvec, rho_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, z, rho))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# solver
+
+
+class BDIMConsts(NamedTuple):
+    """Static-body coefficients, precomputed once per design."""
+
+    del_x: jax.Array  # δ0 at u faces [N, N]
+    del_y: jax.Array
+    del1_x: jax.Array  # δ1 at u faces
+    del1_y: jax.Array
+    wnx_x: jax.Array  # wall normal at u faces
+    wny_x: jax.Array
+    wnx_y: jax.Array  # wall normal at v faces
+    wny_y: jax.Array
+
+
+class BDIMState(NamedTuple):
+    u: jax.Array  # [N, N] x-velocity at x-faces
+    v: jax.Array
+    p: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class BDIMConfig:
+    n: int = 64  # interior cells (grid is (n+2)²), `LilyPad.pde:107`
+    dt: float = 1.0  # `LilyPad.pde:131`
+    u_inf: float = 1.0
+    eps: float = 2.0  # kernel half-width, `BDIM.pde:36`
+    cg_iters: int = 60
+
+    @property
+    def N(self) -> int:
+        return self.n + 2
+
+
+def make_consts(cfg: BDIMConfig, coords: jax.Array) -> BDIMConsts:
+    """Precompute δ0/δ1/wall-normals at faces from polygon(s)
+    (`BDIM.pde:131-178`). coords: [M, 2] or [K, M, 2] in grid units."""
+    N = cfg.N
+    i, j = _face_grids(N)
+    # u faces at (i-0.5, j); v faces at (i, j-0.5)
+    sdf = lambda qx, qy: multi_polygon_sdf(coords, qx, qy)
+
+    def face_coeffs(qx, qy):
+        dist = sdf(qx, qy)
+        d = jnp.clip(dist / cfg.eps, -1.0, 1.0)
+        # wall normal = normalized gradient of sdf (finite difference)
+        h = 0.5
+        gx = (sdf(qx + h, qy) - sdf(qx - h, qy)) / (2 * h)
+        gy = (sdf(qx, qy + h) - sdf(qx, qy - h)) / (2 * h)
+        mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+        # LilyPad returns a zero normal far from the body (`Body.pde:230-245`)
+        near = jnp.abs(dist) < 3.0
+        return (
+            delta0(d),
+            delta1(d, cfg.eps),
+            jnp.where(near, gx / mag, 0.0),
+            jnp.where(near, gy / mag, 0.0),
+        )
+
+    d0x, d1x, wnxx, wnyx = face_coeffs(i - 0.5, j)
+    d0y, d1y, wnxy, wnyy = face_coeffs(i, j - 0.5)
+    # setBC on del fields (copy ghost ring; del bval is 1 for δ0)
+    d0x = set_bc_p(d0x)
+    d0y = set_bc_p(d0y)
+    d1x = set_bc_p(d1x)
+    d1y = set_bc_p(d1y)
+    return BDIMConsts(d0x, d0y, d1x, d1y, wnxx, wnyx, wnxy, wnyy)
+
+
+def init_state(cfg: BDIMConfig) -> BDIMState:
+    N = cfg.N
+    u = set_bc_u(jnp.full((N, N), cfg.u_inf), cfg.u_inf)
+    v = set_bc_v(jnp.zeros((N, N)))
+    return BDIMState(u, v, jnp.zeros((N, N)))
+
+
+def _update_up(
+    cfg: BDIMConfig,
+    consts: BDIMConsts,
+    Rx: jax.Array,
+    Ry: jax.Array,
+    cx: jax.Array,
+    cy: jax.Array,
+    dux: jax.Array,
+    duy: jax.Array,
+    p: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """BDIM forcing + projection (`BDIM.pde:108-123`), static body (u_b = 0)."""
+    u = consts.del_x * Rx
+    v = consts.del_y * Ry
+    u = u + consts.del1_x * normal_grad(dux, consts.wnx_x, consts.wny_x)
+    v = v + consts.del1_y * normal_grad(duy, consts.wnx_y, consts.wny_y)
+    u = set_bc_u(u, cfg.u_inf)
+    v = set_bc_v(v)
+    # project: solve div(c grad p) = div(u), subtract mean, correct u
+    s = divergence(u, v)
+    p = poisson_solve_cg(cx, cy, s, p, cfg.cg_iters)
+    p = p - jnp.mean(p[1:-1, 1:-1])
+    gx, gy = gradient(p)
+    u = u - cx * gx
+    v = v - cy * gy
+    u = set_bc_u(u, cfg.u_inf)
+    v = set_bc_v(v)
+    return u, v, p
+
+
+def bdim_step(cfg: BDIMConfig, consts: BDIMConsts, state: BDIMState) -> BDIMState:
+    """One full predictor+corrector step (`BDIM.pde:82-118`, SL branch)."""
+    dt = cfg.dt
+    cx = consts.del_x * dt
+    cy = consts.del_y * dt
+    u0x, u0y = state.u, state.v
+
+    # predictor: F = advect(u; u0), single-velocity (u == u0 here)
+    Fx = advect_single(state.u, u0x, u0y, dt, btype=1)
+    Fy = advect_single(state.v, u0x, u0y, dt, btype=2)
+    u, v, p = _update_up(cfg, consts, Fx, Fy, cx, cy, Fx, Fy, state.p)
+
+    # corrector (`BDIM.pde:93-106` else-branch)
+    usx, usy = u, v
+    Fx = advect_double(u0x, usx, usy, u0x, u0y, dt, btype=1)
+    Fy = advect_double(u0y, usx, usy, u0x, u0y, dt, btype=2)
+    gx, gy = gradient(p)
+    dpx = gx * (0.5 * dt)
+    dpy = gy * (0.5 * dt)
+    dpx = advect_double(dpx, usx, usy, u0x, u0y, dt, btype=1)
+    dpy = advect_double(dpy, usx, usy, u0x, u0y, dt, btype=2)
+    u, v, p = _update_up(
+        cfg, consts, Fx - dpx, Fy - dpy, cx * 0.5, cy * 0.5, Fx, Fy, p
+    )
+    return BDIMState(u, v, p)
+
+
+# ---------------------------------------------------------------------------
+# force integration
+
+
+def press_force(p: jax.Array, coords: jax.Array) -> jax.Array:
+    """Pressure force ∮ p n dl over polygon segments (`Body.pde:311-318`):
+    bilinear p at segment midpoints × length × outward normal.
+    Returns [2] = (Fx, Fy). Normal convention matches `utils.py:97-112`
+    (nx = ty, ny = -tx with tangent from point i to i+1)."""
+    b = jnp.roll(coords, -1, axis=0)
+    seg = coords - b
+    length = jnp.sqrt(jnp.sum(seg * seg, -1) + 1e-20)
+    tx = seg[:, 0] / length
+    ty = seg[:, 1] / length
+    nx, ny = ty, -tx
+    cen = 0.5 * (coords + b)
+    pdl = _bilinear(p, cen[:, 0], cen[:, 1]) * length
+    return jnp.stack([jnp.sum(pdl * nx), jnp.sum(pdl * ny)])
+
+
+# ---------------------------------------------------------------------------
+# batched simulation driver
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_warmup", "n_record"))
+def simulate_flow(
+    cfg: BDIMConfig, coords: jax.Array, n_warmup: int, n_record: int
+):
+    """Run BDIM for one design and record fields + per-body forces.
+
+    Mirrors the LilyPad evaluation driver (`LilyPad.pde:143-180`): step to
+    t = n_warmup (stime), then record (u, v, p) interiors and pressure
+    forces for n_record steps.
+
+    Args:
+        coords: [M, 2] or [K, M, 2] polygon(s) in grid units.
+
+    Returns:
+        fields: (u, v, p) each [n_record, n, n] (interior, index [i=x, j=y])
+        forces: [n_record, K, 2]
+    """
+    consts = make_consts(cfg, coords)
+    state = init_state(cfg)
+
+    def warm(state, _):
+        return bdim_step(cfg, consts, state), None
+
+    state, _ = jax.lax.scan(warm, state, None, length=n_warmup)
+
+    body_stack = coords if coords.ndim == 3 else coords[None]
+
+    def rec(state, _):
+        state = bdim_step(cfg, consts, state)
+        f = jax.vmap(lambda c: press_force(state.p, c))(body_stack)
+        out = (
+            state.u[1:-1, 1:-1],
+            state.v[1:-1, 1:-1],
+            state.p[1:-1, 1:-1],
+            f,
+        )
+        return state, out
+
+    _, (us, vs, ps, fs) = jax.lax.scan(rec, state, None, length=n_record)
+    return (us, vs, ps), fs
+
+
+def simulate_flow_batch(cfg: BDIMConfig, coords_batch: jax.Array, n_warmup: int, n_record: int):
+    """vmap over a batch of designs: coords_batch [B, K, M, 2] (or [B, M, 2])."""
+    return jax.vmap(lambda c: simulate_flow(cfg, c, n_warmup, n_record))(coords_batch)

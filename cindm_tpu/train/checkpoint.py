@@ -1,0 +1,45 @@
+"""Orbax checkpointing of train state.
+
+TPU-native replacement for the reference's torch `.pt` milestone dicts
+{step, model, opt, ema, scaler} (`model/diffusion_1d.py:2635-2667`,
+`model/diffusion_2d.py:1199-1211`): the full TrainState pytree
+{params, ema_params, opt_state, step} is saved with orbax, milestone-numbered
+like the reference's ``model-{k}.pt``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, milestone: int, state: Any) -> None:
+        self._mngr.save(milestone, args=ocp.args.StandardSave(state))
+        self._mngr.wait_until_finished()
+
+    def load(self, milestone: Optional[int] = None, template: Any = None) -> Any:
+        """Restore the given milestone (latest if None). ``template`` is an
+        abstract pytree with the right structure/shapes (e.g. a freshly
+        initialized state)."""
+        step = milestone if milestone is not None else self._mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if template is not None:
+            target = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+            return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
+        return self._mngr.restore(step)
+
+    def latest_milestone(self) -> Optional[int]:
+        return self._mngr.latest_step()

@@ -77,27 +77,18 @@ def init_train_state(params, tx: optax.GradientTransformation) -> dict:
     }
 
 
-def make_train_step(
-    model_apply: Callable,
-    diffusion_cfg: Diffusion1DConfig,
-    sched: DiffusionSchedule,
+def make_train_step_from_loss(
+    loss_fn: Callable,
     train_cfg: TrainConfig,
     mesh: Optional[Mesh] = None,
 ) -> Callable:
-    """Build the jitted train step.
+    """Build a jitted train step from any loss_fn(params, batch, key)→scalar.
 
-    Returns step_fn(state, batch, key) -> (state, loss) where batch is
-    {'x': [B, rollout, F], 'cond': [B, cond, F] or absent}. When a mesh is
+    Returns step_fn(state, batch, key) -> (state, loss). When a mesh is
     given, the batch is sharded over its 'data' axis and params replicated
     (pjit-style via NamedSharding constraints); XLA inserts the psum.
     """
     tx = make_optimizer(train_cfg)
-
-    def loss_fn(params, batch, key):
-        eps_model = lambda x, t: model_apply(params, x, t)
-        return p_losses(
-            diffusion_cfg, sched, eps_model, batch["x"], batch.get("cond"), key
-        )
 
     def ema_update(ema, params, step):
         # EMA(0.995) applied once every `ema_update_every` steps
@@ -121,11 +112,48 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    state_sh = repl
-    batch_sh = data
     return jax.jit(
         step_fn,
-        in_shardings=(state_sh, batch_sh, repl),
-        out_shardings=(state_sh, repl),
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_train_step(
+    model_apply: Callable,
+    diffusion_cfg: Diffusion1DConfig,
+    sched: DiffusionSchedule,
+    train_cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """1D-diffusion train step (`Trainer1D`, `model/diffusion_1d.py:2504-2990`):
+    batch = {'x': [B, rollout, F], 'cond': [B, cond, F] (optional)}."""
+
+    def loss_fn(params, batch, key):
+        eps_model = lambda x, t: model_apply(params, x, t)
+        return p_losses(
+            diffusion_cfg, sched, eps_model, batch["x"], batch.get("cond"), key
+        )
+
+    return make_train_step_from_loss(loss_fn, train_cfg, mesh)
+
+
+def make_train_step_2d(
+    model_apply: Callable,
+    diffusion_cfg,
+    sched: DiffusionSchedule,
+    train_cfg: TrainConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """2D-diffusion train step (`Trainer` 2D, `model/diffusion_2d.py:1097-1360`):
+    batch = {'x': [B, H, W, pred·3+3], 'cond': [B, H, W, cond·3]}."""
+    from ..sampling.diffusion2d import p_losses_2d
+
+    def loss_fn(params, batch, key):
+        eps_model = lambda x, t: model_apply(params, x, t)
+        return p_losses_2d(
+            diffusion_cfg, sched, eps_model, batch["x"], batch["cond"], key
+        )
+
+    return make_train_step_from_loss(loss_fn, train_cfg, mesh)

@@ -1,0 +1,118 @@
+"""Baseline model + design-optimizer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cindm_tpu.baselines import (
+    BackpropConfig,
+    CEMConfig,
+    FNO1d,
+    FNO2d,
+    GNSConfig,
+    GNSNet,
+    LEPDE,
+    LEPDEConfig,
+    Unet1DForwardModel,
+    backprop_design,
+    cem_design,
+    clamp_nbody_cond,
+    gns_direct_rollout,
+    gns_rollout,
+    lepde_loss,
+)
+
+
+def test_unet_forward_model_shapes():
+    m = Unet1DForwardModel(horizon=24, transition_dim=8, dim=16)
+    cond = jnp.ones((2, 1, 8)) * 0.5
+    params = m.init(jax.random.PRNGKey(0), cond)
+    out = m.apply(params, cond)
+    assert out.shape == (2, 24, 8)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_gns_net_and_rollouts():
+    cfg = GNSConfig(hidden_size=32, gnn_layers=2, radius=0.2)
+    m = GNSNet(cfg)
+    poss = jax.random.uniform(jax.random.PRNGKey(0), (2, 4, 4, 2))
+    ptype = jnp.zeros((2, 4), jnp.int32)
+    params = m.init(jax.random.PRNGKey(1), poss, ptype)
+    acc = m.apply(params, poss, ptype)
+    assert acc.shape == (2, 4, 2)
+    traj = gns_rollout(m.apply, params, poss, ptype, 6)
+    assert traj.shape == (2, 4, 6, 2)
+    assert bool(jnp.all(jnp.isfinite(traj)))
+    # direct multi-step head
+    cfg2 = GNSConfig(hidden_size=32, gnn_layers=2, radius=0.2, out_size=12)
+    m2 = GNSNet(cfg2)
+    params2 = m2.init(jax.random.PRNGKey(2), poss, ptype)
+    direct = gns_direct_rollout(m2.apply, params2, poss, ptype, 6)
+    assert direct.shape == (2, 4, 6, 2)
+
+
+def test_fno2d_shapes():
+    m = FNO2d(out_channels=3, modes=4, width=8, n_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 5))
+    params = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(params, x)
+    assert out.shape == (2, 16, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_fno1d_shapes():
+    m = FNO1d(out_channels=2, modes=4, width=8, n_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 3))
+    params = m.init(jax.random.PRNGKey(1), x)
+    assert m.apply(params, x).shape == (2, 24, 2)
+
+
+def test_lepde_forward_and_loss():
+    cfg = LEPDEConfig(latent_size=16, enc_dim=4, evo_hidden=16)
+    m = LEPDE(cfg, out_hw=16)
+    u0 = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    static = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    params = m.init(jax.random.PRNGKey(2), u0, static, 1)
+    preds = m.apply(params, u0, static, 3)
+    assert preds.shape == (2, 3, 16, 16, 3)
+    targets = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16, 16, 3))
+    loss = lepde_loss(m, params, u0, static, targets)
+    assert jnp.isfinite(loss)
+
+
+def test_clamp_nbody_cond():
+    c = jnp.array([[[2.0, -2.0, 2.0, -2.0, 0.5, 0.5, 0.1, -0.1]]])
+    out = np.asarray(clamp_nbody_cond(c))[0, 0]
+    assert out[0] == 0.9 and out[1] == 0.1  # pos clamped
+    assert out[2] == 0.5 and out[3] == -0.5  # vel clamped
+    assert out[4] == 0.5 and out[6] == 0.1  # untouched values preserved
+
+
+def _quadratic_surrogate():
+    # rollout = broadcast cond; design = squared distance of pos to 0.7
+    def rollout(cond):
+        return jnp.broadcast_to(cond, (4,) + cond.shape[-2:]) if cond.ndim == 2 else cond
+
+    def design(pred):
+        p = pred.reshape(-1, 2, 4)[..., :2]
+        return jnp.sum(jnp.square(p - 0.7))
+
+    return rollout, design
+
+
+def test_cem_design_converges_toward_target():
+    rollout, design = _quadratic_surrogate()
+    cfg = CEMConfig(n_samples=64, n_elites=8, n_iterations=30)
+    best, obj = cem_design(cfg, rollout, design, (1, 8), jax.random.PRNGKey(0))
+    pos = np.asarray(best).reshape(2, 4)[:, :2]
+    np.testing.assert_allclose(pos, 0.7, atol=0.1)
+
+
+def test_backprop_design_converges():
+    rollout, design = _quadratic_surrogate()
+    cfg = BackpropConfig(n_iterations=100, lr=0.05)
+    cond0 = jnp.full((1, 8), 0.4)
+    cond, objs = backprop_design(cfg, rollout, design, cond0, jax.random.PRNGKey(0))
+    pos = np.asarray(cond).reshape(2, 4)[:, :2]
+    np.testing.assert_allclose(pos, 0.7, atol=0.02)
+    assert float(objs[-1]) < float(objs[0])

@@ -1,0 +1,137 @@
+"""BDIM solver tests: geometry, kernel moments, BCs, projection, and a
+cylinder-flow integration sanity check."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cindm_tpu.physics.bdim import (
+    BDIMConfig,
+    bdim_step,
+    delta0,
+    delta1,
+    divergence,
+    ellipse_coords,
+    init_state,
+    make_consts,
+    naca_coords,
+    polygon_sdf,
+    press_force,
+    poisson_matvec,
+    poisson_solve_cg,
+    rotate_coords,
+    set_bc_u,
+    simulate_flow,
+)
+
+
+def test_delta0_limits():
+    # fluid side (d=1) → 1, body side (d=-1) → 0, interface → 0.5
+    assert float(delta0(jnp.array(1.0))) == pytest.approx(1.0, abs=1e-6)
+    assert float(delta0(jnp.array(-1.0))) == pytest.approx(0.0, abs=1e-6)
+    assert float(delta0(jnp.array(0.0))) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_delta1_vanishes_at_limits():
+    assert float(delta1(jnp.array(1.0), 2.0)) == pytest.approx(0.0, abs=1e-6)
+    assert float(delta1(jnp.array(-1.0), 2.0)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_polygon_sdf_circle():
+    # 40-gon approximating a circle radius 5 at (20, 20)
+    coords = jnp.asarray(ellipse_coords(20, 20, 10, 1.0))
+    qx = jnp.array([20.0, 20.0, 28.0])
+    qy = jnp.array([20.0, 24.0, 20.0])
+    d = polygon_sdf(coords, qx, qy)
+    assert float(d[0]) == pytest.approx(-5.0, abs=0.1)  # center: inside
+    assert float(d[1]) == pytest.approx(-1.0, abs=0.1)
+    assert float(d[2]) == pytest.approx(3.0, abs=0.1)  # outside
+
+
+def test_ellipse_and_naca_shapes():
+    e = ellipse_coords(32, 32, 12, 1.5)
+    assert e.shape == (40, 2)
+    n = naca_coords(20, 32, 15, 0.12)
+    assert n.shape == (40, 2)  # 2m points for DiscNACA m=20
+    r = rotate_coords(e, (32, 32), 0.3)
+    # rotation preserves distances to center
+    d0 = np.linalg.norm(e - [32, 32], axis=1)
+    d1 = np.linalg.norm(r - [32, 32], axis=1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5)
+
+
+def test_set_bc_u_mass_flux():
+    # exit-flux correction: mean outflow equals u_inf
+    a = jax.random.normal(jax.random.PRNGKey(0), (10, 10))
+    a = set_bc_u(a, 1.0)
+    assert float(jnp.mean(a[-1, 1:-1])) == pytest.approx(1.0, abs=1e-5)
+    np.testing.assert_allclose(np.asarray(a[1, :]), 1.0)
+
+
+def test_poisson_cg_solves_uniform_laplacian():
+    # c ≡ 1: A = standard 5-point Laplacian with Neumann-like edges;
+    # check CG reduces the residual by orders of magnitude
+    N = 34
+    cx = jnp.ones((N, N))
+    cy = jnp.ones((N, N))
+    key = jax.random.PRNGKey(1)
+    b = jnp.zeros((N, N)).at[1:-1, 1:-1].set(jax.random.normal(key, (N - 2, N - 2)))
+    b = b.at[1:-1, 1:-1].add(-jnp.mean(b[1:-1, 1:-1]))  # compatible RHS
+    x = poisson_solve_cg(cx, cy, b, jnp.zeros((N, N)), iters=200)
+    r = b - poisson_matvec(cx, cy, x)
+    rel = float(jnp.linalg.norm(r[1:-1, 1:-1]) / jnp.linalg.norm(b[1:-1, 1:-1]))
+    assert rel < 1e-4, rel
+
+
+def test_press_force_uniform_pressure_closed_body():
+    # uniform pressure on a closed polygon → zero net force
+    coords = jnp.asarray(ellipse_coords(20, 20, 10, 1.0))
+    p = jnp.ones((40, 40))
+    f = press_force(p, coords)
+    np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-4)
+
+
+def test_press_force_linear_pressure_buoyancy():
+    # p = x → net force = -area * dp/dx in x (Archimedes, with the
+    # utils.py:97-112 normal convention giving force = -∮p n̂ dl... check sign
+    # consistency: magnitude must equal the polygon area)
+    coords = jnp.asarray(ellipse_coords(20, 20, 10, 1.0))
+    N = 40
+    i = jnp.broadcast_to(jnp.arange(N, dtype=jnp.float32)[:, None], (N, N))
+    f = press_force(i, coords)
+    area = np.pi * 5.0**2
+    assert abs(float(f[0])) == pytest.approx(area, rel=0.05)
+    assert float(f[1]) == pytest.approx(0.0, abs=0.5)
+
+
+def test_cylinder_flow_runs_and_is_physical():
+    cfg = BDIMConfig(n=32, cg_iters=50)
+    # cylinder diameter n/4 at (n/3, n/2) like the BDIM.pde example
+    coords = jnp.asarray(ellipse_coords(32 / 3 + 1, 17, 8, 1.0))
+    consts = make_consts(cfg, coords)
+    state = init_state(cfg)
+    for _ in range(20):
+        state = bdim_step(cfg, consts, state)
+    u, v, p = state
+    assert bool(jnp.all(jnp.isfinite(u))) and bool(jnp.all(jnp.isfinite(p)))
+    # velocity inside the body should be suppressed toward 0
+    # (δ0 ≈ 0 in the solid): sample the center
+    assert abs(float(u[11, 17])) < 0.5
+    # far field stays near u_inf
+    assert float(u[5, 30]) == pytest.approx(1.0, abs=0.3)
+    # post-projection divergence is small in the fluid region
+    div = divergence(u, v)
+    fluid = consts.del_x[1:-1, 1:-1] > 0.99
+    assert float(jnp.max(jnp.abs(div[1:-1, 1:-1] * fluid))) < 0.2
+
+
+def test_simulate_flow_records_shapes():
+    cfg = BDIMConfig(n=32, cg_iters=40)
+    coords = jnp.asarray(ellipse_coords(12, 17, 8, 1.0))
+    (us, vs, ps), fs = simulate_flow(cfg, coords, n_warmup=5, n_record=4)
+    assert us.shape == (4, 32, 32)
+    assert fs.shape == (4, 1, 2)
+    assert bool(jnp.all(jnp.isfinite(us)))
+    # drag (x-force with the flow) should be nonzero once the flow develops
+    assert abs(float(fs[-1, 0, 0])) > 1e-3
