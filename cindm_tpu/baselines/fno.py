@@ -1,11 +1,16 @@
-"""FNO — Fourier Neural Operator baselines (1D/2D).
+"""FNO — Fourier Neural Operator baselines (1D/2D), real-arithmetic on TPU.
 
 TPU-native re-design of the reference FNO stack
 (`le_pde/models.py:1996-2593`: `SpectralConv1d/2d`, `FNO1d/2d`,
-`FNOModel` wrapper): spectral convolutions are FFT → low-mode complex
-contraction → iFFT, which XLA maps to batched complex matmuls — natively
-fast on TPU. Default 2D config modes=12, width=20 (the reference trains
-`fno-m20-w32` via `train/train_baseline.py`).
+`FNOModel` wrapper). The reference multiplies low FFT modes with complex
+weights; this TPU backend has no complex arithmetic, and for the small mode
+counts FNO keeps (m ≤ 20 of 64) a **truncated DFT as real matmuls** is both
+supported and MXU-friendly: forward/inverse transforms become separable
+cos/sin basis contractions restricted to the kept modes — O(H·m) instead of
+O(H·log H), all dense matmuls.
+
+Numerics match `jnp.fft.rfft/irfft`-based spectral conv exactly (see
+tests/test_baselines.py) because only the kept modes ever carry weight.
 """
 
 from __future__ import annotations
@@ -14,14 +19,30 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..models.blocks import Dense
 
 
+def _mode_freqs(m1: int) -> np.ndarray:
+    """Signed kept frequencies along a full axis: 0..m1-1 and -m1..-1
+    (matching rfft2 row blocks [:m1] and [-m1:])."""
+    return np.concatenate([np.arange(m1), np.arange(-m1, 0)])
+
+
+def _dft_bases(n: int, freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """cos/sin bases [len(freqs), n] for e^{-2πi k x / n}."""
+    x = np.arange(n)
+    ang = -2 * np.pi * np.outer(freqs, x) / n
+    return np.cos(ang), np.sin(ang)
+
+
 class SpectralConv2d(nn.Module):
-    """Complex multiply of the lowest `modes` Fourier modes
-    (`le_pde/models.py:2070-2130`)."""
+    """Low-mode spectral conv (`le_pde/models.py:2070-2130`), real arithmetic.
+
+    Parameters and kept-mode layout mirror the reference: weights w1 for
+    kx ∈ [0, m1), w2 for kx ∈ [-m1, 0), both with ky ∈ [0, m2)."""
 
     out_channels: int
     modes1: int = 12
@@ -29,31 +50,53 @@ class SpectralConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # x: [B, H, W, C]
         B, H, W, C = x.shape
         m1, m2 = self.modes1, self.modes2
         scale = 1.0 / (C * self.out_channels)
         init = lambda key, shape: scale * jax.random.uniform(key, shape)
-        wr1 = self.param("w1_real", init, (C, self.out_channels, m1, m2))
-        wi1 = self.param("w1_imag", init, (C, self.out_channels, m1, m2))
-        wr2 = self.param("w2_real", init, (C, self.out_channels, m1, m2))
-        wi2 = self.param("w2_imag", init, (C, self.out_channels, m1, m2))
-        w1 = wr1 + 1j * wi1
-        w2 = wr2 + 1j * wi2
+        # [2 (pos/neg kx block), C, O, m1, m2]
+        wr = self.param("w_real", init, (2, C, self.out_channels, m1, m2))
+        wi = self.param("w_imag", init, (2, C, self.out_channels, m1, m2))
 
-        x_ft = jnp.fft.rfft2(x, axes=(1, 2))  # [B, H, W//2+1, C]
-        out = jnp.zeros((B, H, W // 2 + 1, self.out_channels), jnp.complex64)
-        top = jnp.einsum("bxyc,coxy->bxyo", x_ft[:, :m1, :m2], w1)
-        bot = jnp.einsum("bxyc,coxy->bxyo", x_ft[:, -m1:, :m2], w2)
-        out = out.at[:, :m1, :m2].set(top)
-        out = out.at[:, -m1:, :m2].set(bot)
-        return jnp.fft.irfft2(out, s=(H, W), axes=(1, 2)).astype(x.dtype)
+        kx = _mode_freqs(m1)  # [2*m1]
+        ky = np.arange(m2)
+        ch, sh = _dft_bases(H, kx)  # [2m1, H]
+        cw, sw = _dft_bases(W, ky)  # [m2, W]
+        ch, sh = jnp.asarray(ch, x.dtype), jnp.asarray(sh, x.dtype)
+        cw, sw = jnp.asarray(cw, x.dtype), jnp.asarray(sw, x.dtype)
+
+        # forward truncated DFT (separable): first over H, then W
+        xr = jnp.einsum("bhwc,kh->bkwc", x, ch)
+        xi = jnp.einsum("bhwc,kh->bkwc", x, sh)
+        Re = jnp.einsum("bkwc,lw->bklc", xr, cw) - jnp.einsum("bkwc,lw->bklc", xi, sw)
+        Im = jnp.einsum("bkwc,lw->bklc", xi, cw) + jnp.einsum("bkwc,lw->bklc", xr, sw)
+        # [B, 2m1, m2, C] → complex multiply with per-block weights
+        Re2 = Re.reshape(B, 2, m1, m2, C)
+        Im2 = Im.reshape(B, 2, m1, m2, C)
+        Or = jnp.einsum("bgklc,gcokl->bgklo", Re2, wr) - jnp.einsum(
+            "bgklc,gcokl->bgklo", Im2, wi
+        )
+        Oi = jnp.einsum("bgklc,gcokl->bgklo", Re2, wi) + jnp.einsum(
+            "bgklc,gcokl->bgklo", Im2, wr
+        )
+        Or = Or.reshape(B, 2 * m1, m2, self.out_channels)
+        Oi = Oi.reshape(B, 2 * m1, m2, self.out_channels)
+
+        # inverse: Hermitian-weighted real part of the sparse spectrum
+        a = jnp.asarray(np.where((ky == 0) | (ky == W // 2), 1.0, 2.0), x.dtype)
+        Or = Or * a[None, None, :, None]
+        Oi = Oi * a[None, None, :, None]
+        # e^{+2πi...} = conj basis: cos(+) = cw, sin(+) = -sw
+        yr = jnp.einsum("bklo,lw->bkwo", Or, cw) + jnp.einsum("bklo,lw->bkwo", Oi, sw)
+        yi = jnp.einsum("bklo,lw->bkwo", Oi, cw) - jnp.einsum("bklo,lw->bkwo", Or, sw)
+        y = jnp.einsum("bkwo,kh->bhwo", yr, ch) + jnp.einsum("bkwo,kh->bhwo", yi, sh)
+        return y / (H * W)
 
 
 class FNO2d(nn.Module):
     """4 spectral layers + 1×1 bypass, GELU (`le_pde/models.py:2132-2220`).
-    Maps [B, H, W, in_c] → [B, H, W, out_c]; appends a normalized (x, y) grid
-    like the reference lifting."""
+    Maps [B, H, W, in_c] → [B, H, W, out_c]; appends a normalized (x, y)
+    grid like the reference lifting."""
 
     out_channels: int
     modes: int = 12
@@ -76,6 +119,8 @@ class FNO2d(nn.Module):
 
 
 class SpectralConv1d(nn.Module):
+    """1D low-mode spectral conv, real arithmetic (ky ∈ [0, m))."""
+
     out_channels: int
     modes: int = 16
 
@@ -85,13 +130,21 @@ class SpectralConv1d(nn.Module):
         m = self.modes
         scale = 1.0 / (C * self.out_channels)
         init = lambda key, shape: scale * jax.random.uniform(key, shape)
-        w = self.param("w_real", init, (C, self.out_channels, m)) + 1j * self.param(
-            "w_imag", init, (C, self.out_channels, m)
-        )
-        x_ft = jnp.fft.rfft(x, axis=1)
-        out = jnp.zeros((B, L // 2 + 1, self.out_channels), jnp.complex64)
-        out = out.at[:, :m].set(jnp.einsum("bxc,cox->bxo", x_ft[:, :m], w))
-        return jnp.fft.irfft(out, n=L, axis=1).astype(x.dtype)
+        wr = self.param("w_real", init, (C, self.out_channels, m))
+        wi = self.param("w_imag", init, (C, self.out_channels, m))
+
+        k = np.arange(m)
+        cb, sb = _dft_bases(L, k)
+        cb, sb = jnp.asarray(cb, x.dtype), jnp.asarray(sb, x.dtype)
+        Re = jnp.einsum("blc,kl->bkc", x, cb)
+        Im = jnp.einsum("blc,kl->bkc", x, sb)
+        Or = jnp.einsum("bkc,cok->bko", Re, wr) - jnp.einsum("bkc,cok->bko", Im, wi)
+        Oi = jnp.einsum("bkc,cok->bko", Re, wi) + jnp.einsum("bkc,cok->bko", Im, wr)
+        a = jnp.asarray(np.where((k == 0) | (k == L // 2), 1.0, 2.0), x.dtype)
+        Or = Or * a[None, :, None]
+        Oi = Oi * a[None, :, None]
+        y = jnp.einsum("bko,kl->blo", Or, cb) + jnp.einsum("bko,kl->blo", Oi, sb)
+        return y / L
 
 
 class FNO1d(nn.Module):

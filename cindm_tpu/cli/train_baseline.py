@@ -1,0 +1,137 @@
+"""train_baseline — FNO / LE-PDE surrogate training CLI.
+
+Mirrors the used core of `train/train_baseline.py` + `le_pde/argparser.py`
+(the reference exposes 186 flags; the ones that matter for the paper's
+airfoil surrogates are algo, latent size, epochs, batch): trains an FNO2d
+or LE-PDE one-step evolution model on BDIM-generated airfoil data, with the
+reference's save/reload self-check (`unittest_model`,
+`le_pde/models.py:2677-2790`).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train FNO/LE-PDE surrogates (TPU)")
+    p.add_argument("--algo", default="fno", help="fno | lepde (reference: fno-m20-w32, contrastive)")
+    p.add_argument("--dataset", default="naca_ellipse_lepde")
+    p.add_argument("--n_sims", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--steps_per_epoch", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--latent_size", type=int, default=160)
+    p.add_argument("--fno_modes", type=int, default=12)
+    p.add_argument("--fno_width", type=int, default=32)
+    p.add_argument("--multi_step", type=int, default=1)
+    p.add_argument("--results_folder", default="./results/baseline")
+    p.add_argument("--is_unittest", type=lambda s: s == "True", default=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--is_testdata", type=lambda s: s == "True", default=True)
+    return p
+
+
+def main(argv=None):
+    import optax
+
+    from ..baselines import FNO2d, LEPDE, LEPDEConfig, lepde_loss
+    from ..data.airfoil import AirfoilDataset, AirfoilDatasetConfig, generate_airfoil_sims
+    from ..physics.bdim import BDIMConfig
+    from ..train import CheckpointManager, TrainConfig, init_train_state, make_optimizer, make_train_step_from_loss
+
+    args = build_parser().parse_args(argv)
+    acfg = AirfoilDatasetConfig(
+        input_steps=1, output_steps=max(args.multi_step, 1), time_interval=1,
+        time_stamps=40 if args.is_testdata else 100,
+        n_warmup=60 if args.is_testdata else 300,
+    )
+    data = generate_airfoil_sims(args.seed, args.n_sims, acfg, BDIMConfig())
+    ds = AirfoilDataset(data, acfg)
+    key = jax.random.PRNGKey(args.seed)
+
+    def make_batch(b, w_list):
+        """u_t [B, 64, 64, 3], static [B, 64, 64, 3], targets [B, K, 64, 64, 3]"""
+        u = jnp.asarray(b["cond"])[..., :3]  # 1 cond frame = 3 channels
+        aux_list = []
+        for w in w_list:
+            aux = np.concatenate([w["mask"][..., None], w["offset"]], axis=-1)
+            aux_list.append(np.pad(aux, ((0, 2), (0, 2), (0, 0))))
+        static = jnp.asarray(np.stack(aux_list), jnp.float32)
+        pred = jnp.asarray(b["x"])[..., : 3 * acfg.output_steps]
+        B = pred.shape[0]
+        targets = pred.reshape(B, 64, 64, acfg.output_steps, 3).transpose(0, 3, 1, 2, 4)
+        return u, static, targets
+
+    if args.algo.startswith("fno"):
+        model = FNO2d(out_channels=3, modes=args.fno_modes, width=args.fno_width)
+        x0 = jnp.zeros((1, 64, 64, 6))  # state 3 + static 3
+        params = model.init(key, x0)
+
+        def loss_fn(params, batch, key):
+            u, static, targets = batch
+            # autoregressive multi-step like get_data_next_step
+            # (`le_pde/utils.py:137`)
+            loss = 0.0
+            cur = u
+            for k in range(targets.shape[1]):
+                pred = model.apply(params, jnp.concatenate([cur, static], -1))
+                loss = loss + jnp.mean(jnp.square(pred - targets[:, k]))
+                cur = pred
+            return loss / targets.shape[1]
+    elif args.algo.startswith("lepde") or args.algo.startswith("contrastive"):
+        lcfg = LEPDEConfig(latent_size=args.latent_size)
+        model = LEPDE(lcfg, out_hw=64)
+        params = model.init(
+            key, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)), 1
+        )
+
+        def loss_fn(params, batch, key):
+            u, static, targets = batch
+            return lepde_loss(model, params, u, static, targets)
+    else:
+        raise ValueError(args.algo)
+
+    print(f"Number of parameter: {sum(p.size for p in jax.tree.leaves(params))/1e6:.2f}M")
+    tcfg = TrainConfig(lr=args.lr, ema_update_every=1)
+    state = init_train_state(params, make_optimizer(tcfg))
+    step = make_train_step_from_loss(loss_fn, tcfg)
+    mngr = CheckpointManager(args.results_folder)
+
+    rng = np.random.default_rng(args.seed)
+    for epoch in range(args.epochs):
+        for i in range(args.steps_per_epoch):
+            idx = rng.integers(0, len(ds), args.batch_size)
+            b = ds.get_batch(idx)
+            w_list = [ds.get_window(int(j)) for j in idx]
+            batch = make_batch(b, w_list)
+            state, loss = step(state, batch, jax.random.fold_in(key, epoch * 1000 + i))
+            print(f"epoch {epoch} step {i}: loss {float(loss):.6f}")
+        mngr.save(epoch + 1, state)
+
+    if args.is_unittest:
+        # save→reload determinism self-check (`le_pde/models.py:2677-2790`)
+        restored = mngr.load(args.epochs, template=state)
+        idx = rng.integers(0, len(ds), 2)
+        b = ds.get_batch(idx)
+        w_list = [ds.get_window(int(j)) for j in idx]
+        u, static, targets = make_batch(b, w_list)
+        if args.algo.startswith("fno"):
+            a = model.apply(state["params"], jnp.concatenate([u, static], -1))
+            bb = model.apply(restored["params"], jnp.concatenate([u, static], -1))
+        else:
+            a = model.apply(state["params"], u, static, 1)
+            bb = model.apply(restored["params"], u, static, 1)
+        maxdiff = float(jnp.max(jnp.abs(a - bb)))
+        assert maxdiff < 8e-5, f"unittest_model failed: {maxdiff}"
+        print(f"unittest_model passed (max diff {maxdiff:.2e})")
+    return state
+
+
+if __name__ == "__main__":
+    main()

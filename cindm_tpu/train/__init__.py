@@ -8,3 +8,4 @@ from .trainer import (
     make_train_step_from_loss,
     reference_lr_schedule,
 )
+from .evaluate import prediction_mae_1d, sampling_eval_1d

@@ -51,6 +51,35 @@ def test_gns_net_and_rollouts():
     assert direct.shape == (2, 4, 6, 2)
 
 
+def test_spectral_conv2d_matches_fft_oracle():
+    """The real-arithmetic truncated DFT must match an FFT-based spectral
+    conv (complex is fine on the CPU test backend)."""
+    from cindm_tpu.baselines.fno import SpectralConv2d, _dft_bases, _mode_freqs
+
+    m = SpectralConv2d(out_channels=3, modes1=3, modes2=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    params = m.init(jax.random.PRNGKey(1), x)
+    got = np.asarray(m.apply(params, x))
+
+    wr = np.asarray(params["params"]["w_real"])
+    wi = np.asarray(params["params"]["w_imag"])
+    w = wr + 1j * wi  # [2, C, O, m1, m2]
+    B, H, W, C = x.shape
+    m1 = m2 = 3
+    x_ft = np.fft.fft2(np.asarray(x), axes=(1, 2))  # full complex FFT
+    out_ft = np.zeros((B, H, m2, 3), np.complex64)
+    out_full = np.zeros((B, H, W, 3), np.complex64)
+    top = np.einsum("bxyc,coxy->bxyo", x_ft[:, :m1, :m2], w[0])
+    bot = np.einsum("bxyc,coxy->bxyo", x_ft[:, -m1:, :m2], w[1])
+    out_full[:, :m1, :m2] = top
+    out_full[:, -m1:, :m2] = bot
+    # Hermitian extension over ky (the irfft2 semantics)
+    for ky in range(1, m2):
+        out_full[:, :, W - ky] += np.conj(np.roll(out_full[:, ::-1, ky], 1, axis=1))
+    want = np.real(np.fft.ifft2(out_full, axes=(1, 2)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-5)
+
+
 def test_fno2d_shapes():
     m = FNO2d(out_channels=3, modes=4, width=8, n_layers=2)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 5))
