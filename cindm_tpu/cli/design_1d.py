@@ -55,6 +55,9 @@ def main(argv=None):
     )
     from ..train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     model_n_bodies = int(args.dataset.split("-")[1])
     feat = model_n_bodies * 4

@@ -53,6 +53,9 @@ def main(argv=None):
     from ..sampling import get_design_fn, get_eval_fn
     from ..train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     feat = args.n_bodies * 4
     horizon = 1 + args.rollout_steps

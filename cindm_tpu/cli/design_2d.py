@@ -46,6 +46,9 @@ def main(argv=None):
     from ..train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
     from ..utils import evaluate_designs, polygons_overlap, reconstruct_boundary
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = Diffusion2DConfig(timesteps=args.timesteps, coeff_ratio=args.coeff_ratio,
                             share_noise=args.share_noise)

@@ -55,6 +55,9 @@ def main(argv=None):
         make_train_step_from_loss,
     )
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     n_bodies = int(args.dataset.split("-")[1]) if "-" in args.dataset else args.n_bodies
     feat = n_bodies * 4

@@ -44,6 +44,9 @@ def main(argv=None):
         make_train_step_2d,
     )
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     acfg = AirfoilDatasetConfig(
         input_steps=args.cond_frames, output_steps=args.pred_frames,

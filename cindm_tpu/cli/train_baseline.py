@@ -45,6 +45,9 @@ def main(argv=None):
     from ..physics.bdim import BDIMConfig
     from ..train import CheckpointManager, TrainConfig, init_train_state, make_optimizer, make_train_step_from_loss
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     acfg = AirfoilDatasetConfig(
         input_steps=1, output_steps=max(args.multi_step, 1), time_interval=1,

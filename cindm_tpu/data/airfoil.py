@@ -153,6 +153,45 @@ def generate_airfoil_sims(
     return out
 
 
+def load_reference_airfoil_dirs(
+    root: str,
+    dirname: str = "training_trajectories",
+    n_sims: int = 10,
+    time_stamps: int = 100,
+) -> dict:
+    """Read a reference-layout airfoil dataset from disk
+    (`data/airfoil_dataset.py:177-186, 338-460`):
+    ``sim_{k:06d}/velocity_{t:06d}.npy`` [2, 62, 62],
+    ``sim_{k:06d}/pressure_{t:06d}.npy`` [62, 62],
+    ``sim_{k:06d}/boundary.npy`` [2, 40],
+    ``boundary_mask/sim_{k:06d}.npy``, ``boundary_offset/sim_{k:06d}.npy``.
+    Returns the same dict layout as ``generate_airfoil_sims``."""
+    base = os.path.join(root, dirname)
+    fields, bounds, masks, offs = [], [], [], []
+    for k in range(n_sims):
+        sim = os.path.join(base, f"sim_{k:06d}")
+        frames = []
+        for t in range(time_stamps):
+            v = np.load(os.path.join(sim, f"velocity_{t:06d}.npy"))  # [2, 62, 62]
+            p = np.load(os.path.join(sim, f"pressure_{t:06d}.npy"))  # [62, 62]
+            frames.append(np.stack([v[0], v[1], p], axis=-1))
+        fields.append(np.stack(frames))
+        bounds.append(np.load(os.path.join(sim, "boundary.npy")).T)  # [40, 2]
+        masks.append(
+            np.load(os.path.join(base, "boundary_mask", f"sim_{k:06d}.npy")).reshape(62, 62)
+        )
+        offs.append(
+            np.load(os.path.join(base, "boundary_offset", f"sim_{k:06d}.npy")).reshape(62, 62, 2)
+        )
+    return {
+        "fields": np.stack(fields).astype(np.float32),
+        "boundary": np.stack(bounds).astype(np.float32),
+        "mask": np.stack(masks).astype(np.float32),
+        "offset": np.stack(offs).astype(np.float32),
+        "forces": np.zeros((n_sims, time_stamps, 1, 2), np.float32),
+    }
+
+
 class AirfoilDataset:
     """Windowed airfoil dataset with the reference normalization semantics."""
 

@@ -58,11 +58,22 @@ def make_composed_eps_model(
     single_model_step: int,
     compose_mode: Literal["mean-inside", "sum-inside"] = "mean-inside",
     feature_size: int = 4,
+    sched=None,
+    clip_pairwise_x_start: bool = False,
 ) -> EpsModel:
     """Lift a 2-body single-window ε-model to n bodies over composed windows.
 
     The returned function has the plain EpsModel signature, so samplers are
     agnostic to whether they run composed or not.
+
+    ``clip_pairwise_x_start`` implements the *outside*-composition semantics
+    (`p_sample_compose_outside`, `model/diffusion_1d.py:1379-1652`): each
+    pair-window's x̂0 is clipped to [-1, 1] BEFORE aggregation (per-pair
+    p_mean_variance with clip_denoised). Because the posterior mean is
+    affine in x̂0, averaging per-pair posterior means ("mean" mode) equals
+    running the standard posterior on the aggregated pairwise-clipped noise
+    — so outside-mean and outside-noise_sum both reduce to this option.
+    Requires ``sched``.
     """
     n = compose_n_bodies
     K = n_composed + 1
@@ -97,6 +108,15 @@ def make_composed_eps_model(
 
         t_rep = jnp.tile(t, K * P)
         eps = base_eps_model(pair_in, t_rep)  # [K*P*B, sms, 2F]
+        if clip_pairwise_x_start:
+            # outside-composition: clip each pair-window x̂0 before
+            # aggregating (`model/diffusion_1d.py:1407-1463`)
+            from ..core import diffusion as _dd
+
+            assert sched is not None, "clip_pairwise_x_start requires sched"
+            x_start_p = _dd.predict_start_from_noise(sched, pair_in, t_rep, eps)
+            x_start_p = jnp.clip(x_start_p, -1.0, 1.0)
+            eps = _dd.predict_noise_from_start(sched, pair_in, t_rep, x_start_p)
         eps = eps.reshape(K, P, B, sms, 2, F)
         eps = jnp.transpose(eps, (0, 2, 3, 1, 4, 5))  # [K, B, sms, P, 2, F]
 

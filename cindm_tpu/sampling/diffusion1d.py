@@ -70,6 +70,12 @@ def p_losses(
     else:
         target_noise = noise
     model_out = eps_model(x, t)
+    if cfg.loss_type == "loss_type3":
+        # CustomLoss: L1 + per-body |speed²| channel, unweighted
+        # (`model/diffusion_1d.py:2485-2486`, `utils.py:951-962`)
+        from ..utils.extras import custom_l1_speed_loss
+
+        return custom_l1_speed_loss(model_out, target_noise)
     weight = dd.rollout_loss_weight(
         cfg.conditioned_steps, R, F, cfg.loss_weight_discount, x_start.dtype
     )
@@ -101,14 +107,22 @@ def sample(
     """Sampling dispatcher (`model/diffusion_1d.py:2329-2376`): DDIM when
     sample_steps < T, else full ancestral; composed ε-model when requested."""
     steps = sample_steps or cfg.sampling_timesteps or cfg.timesteps
-    if n_composed > 0 or compose_n_bodies > 2 or "inside" in compose_mode:
+    if n_composed > 0 or compose_n_bodies > 2 or compose_mode in (
+        "mean-inside", "sum-inside", "mean", "noise_sum",
+    ):
+        # "mean"/"noise_sum" = outside composition: per-pair x̂0 clipping
+        # before aggregation (`model/diffusion_1d.py:1379-1652`)
+        outside = "inside" not in compose_mode
         model = make_composed_eps_model(
             eps_model,
             compose_n_bodies=compose_n_bodies,
             n_composed=n_composed,
             compose_start_step=compose_start_step,
             single_model_step=cfg.horizon,
-            compose_mode=compose_mode if "inside" in compose_mode else "mean-inside",
+            compose_mode="sum-inside" if compose_mode == "noise_sum"
+            else ("mean-inside" if outside else compose_mode),
+            sched=sched,
+            clip_pairwise_x_start=outside,
         )
         total_steps = cfg.horizon + n_composed * compose_start_step
     else:

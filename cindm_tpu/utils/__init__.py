@@ -8,3 +8,6 @@ from .boundary import (
 )
 from .eval2d import evaluate_designs, metric, metric_batch
 from .observability import MetricTracker, Printer, confidence_interval_95, profile_trace
+from .cache import enable_compile_cache
+from .torch_convert import convert_temporal_unet1d, load_reference_checkpoint
+from .extras import custom_l1_speed_loss, plot_field, plot_trajectories, random_walk_noise

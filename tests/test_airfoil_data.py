@@ -66,3 +66,32 @@ def test_dataset_windowing_and_batch(small_sims):
     batch = ds.get_batch(np.array([0, 1]))
     assert batch["x"].shape == (2, 64, 64, 15)  # 4 frames * 3 + 3 aux
     assert batch["cond"].shape == (2, 64, 64, 6)  # 2 frames * 3
+
+
+def test_load_reference_airfoil_dirs(tmp_path):
+    """Round-trip the reference on-disk layout."""
+    import os
+    from cindm_tpu.data.airfoil import load_reference_airfoil_dirs
+
+    base = tmp_path / "training_trajectories"
+    rng = np.random.default_rng(0)
+    for k in range(2):
+        sim = base / f"sim_{k:06d}"
+        os.makedirs(sim)
+        for t in range(3):
+            np.save(sim / f"velocity_{t:06d}.npy", rng.normal(size=(2, 62, 62)).astype(np.float32))
+            np.save(sim / f"pressure_{t:06d}.npy", rng.normal(size=(62, 62)).astype(np.float32))
+        np.save(sim / "boundary.npy", rng.uniform(1, 61, size=(2, 40)).astype(np.float32))
+    os.makedirs(base / "boundary_mask")
+    os.makedirs(base / "boundary_offset")
+    for k in range(2):
+        np.save(base / "boundary_mask" / f"sim_{k:06d}.npy", rng.integers(0, 2, (62 * 62,)).astype(np.float32))
+        np.save(base / "boundary_offset" / f"sim_{k:06d}.npy", rng.normal(size=(62 * 62, 2)).astype(np.float32))
+
+    data = load_reference_airfoil_dirs(str(tmp_path), n_sims=2, time_stamps=3)
+    assert data["fields"].shape == (2, 3, 62, 62, 3)
+    assert data["boundary"].shape == (2, 40, 2)
+    assert data["mask"].shape == (2, 62, 62)
+    assert data["offset"].shape == (2, 62, 62, 2)
+    ds = AirfoilDataset(data, AirfoilDatasetConfig(input_steps=1, output_steps=1, time_interval=1, time_stamps=3))
+    assert len(ds) > 0

@@ -101,3 +101,29 @@ def test_composed_model_is_jittable():
     t = jnp.array([3, 7])
     jitted = jax.jit(fn)
     np.testing.assert_allclose(np.asarray(jitted(x, t)), np.asarray(fn(x, t)), rtol=1e-5)
+
+
+def test_outside_composition_clips_pairwise():
+    """clip_pairwise_x_start (outside-composition semantics) must differ from
+    inside when x̂0 exceeds [-1, 1], and equal it when it doesn't."""
+    import jax
+    from cindm_tpu.core import make_schedule
+
+    sched = make_schedule(50)
+    base = _linear_base(jax.random.PRNGKey(0))
+    kw = dict(compose_n_bodies=4, n_composed=1, compose_start_step=4, single_model_step=24)
+    inside = make_composed_eps_model(base, compose_mode="mean-inside", **kw)
+    outside = make_composed_eps_model(
+        base, compose_mode="mean-inside", sched=sched, clip_pairwise_x_start=True, **kw
+    )
+    t = jnp.array([45, 45])  # high noise → x̂0 large → clipping active
+    x_big = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 16)) * 5.0
+    a = np.asarray(inside(x_big, t))
+    b = np.asarray(outside(x_big, t))
+    assert not np.allclose(a, b)
+    # tiny x at low t → no clipping → identical
+    t2 = jnp.array([1, 1])
+    x_small = jax.random.normal(jax.random.PRNGKey(2), (2, 28, 16)) * 0.01
+    np.testing.assert_allclose(
+        np.asarray(inside(x_small, t2)), np.asarray(outside(x_small, t2)), rtol=1e-4, atol=1e-6
+    )

@@ -67,3 +67,16 @@ def test_iterate_batches_deterministic():
     b1 = next(ds.iterate_batches(4, seed=7))
     b2 = next(ds.iterate_batches(4, seed=7))
     np.testing.assert_array_equal(b1["x"], b2["x"])
+
+
+def test_gns_batch_format():
+    from cindm_tpu.data.nbody import NBodyDataset, NBodyDatasetConfig
+
+    cfg = NBodyDatasetConfig(n_bodies=2, input_steps=0, output_steps=24, time_interval=4)
+    ds = NBodyDataset(cfg, data=_fake_data())
+    b = ds.get_gns_batch(np.array([0, 1]), n_his=4, noise_std=0.001)
+    assert b["poss"].shape == (2, 2, 4, 2)
+    assert b["tgt_poss"].shape == (2, 2, 20, 2)
+    assert b["particle_type"].shape == (2, 2)
+    # normalized positions
+    assert np.abs(b["tgt_poss"]).max() <= 1.1
