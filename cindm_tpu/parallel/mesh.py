@@ -17,6 +17,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) initialization: `jax.distributed.initialize` with
+    TPU-pod auto-detection when args are None (SURVEY.md §2.6 — the
+    reference has no multi-host path at all). Call once before any jax op
+    on each host; afterwards `jax.devices()` spans the pod and `make_mesh`
+    lays the global mesh over ICI+DCN."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),

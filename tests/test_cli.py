@@ -62,3 +62,26 @@ def test_design_1d_baseline_backprop_smoke():
         "--rollout_steps", "23",
     ])
     assert np.isfinite(record["design_obj_simu"])
+
+
+def test_design_2d_baseline_gd_smoke():
+    from cindm_tpu.cli.design_2d_baseline import main
+
+    record = main([
+        "--design_method", "GD", "--surrogate", "fno",
+        "--optim_iter", "5", "--rollout", "2", "--batch_size", "1",
+    ])
+    assert np.isfinite(record["obj_last"])
+    # gradient descent should not increase the objective
+    assert record["obj_last"] <= record["obj_first"] + 1e-3
+
+
+def test_design_2d_baseline_cem_smoke():
+    from cindm_tpu.cli.design_2d_baseline import main
+
+    record = main([
+        "--design_method", "CEM", "--surrogate", "fno",
+        "--optim_iter", "2", "--rollout", "1", "--batch_size", "1",
+        "--N", "8", "--Ne", "2",
+    ])
+    assert np.isfinite(record["obj_last"])

@@ -82,3 +82,26 @@ def test_train_step_on_8_device_mesh():
     assert jnp.isfinite(loss)
     state, loss2 = step(state, batch, jax.random.PRNGKey(1))
     assert jnp.isfinite(loss2)
+
+
+def test_sampling_eval_1d_perfect_model():
+    """With a perfect ε-model the sampled trajectories concentrate at the
+    data mean, so MAE vs a constant batch is small."""
+    from cindm_tpu.core import make_schedule
+    from cindm_tpu.sampling import Diffusion1DConfig
+    from cindm_tpu.train import sampling_eval_1d
+
+    T = 50
+    sched = make_schedule(T)
+    mu = 0.4
+
+    def eps(x, t):
+        sa = sched.sqrt_alphas_cumprod[t][:, None, None]
+        s1 = sched.sqrt_one_minus_alphas_cumprod[t][:, None, None]
+        return (x - sa * mu) / s1
+
+    cfg = Diffusion1DConfig(rollout_steps=8, timesteps=T)
+    batch = {"x": jnp.full((8, 8, 4), mu)}
+    rec = sampling_eval_1d(cfg, sched, eps, batch, jax.random.PRNGKey(0), sample_steps=20)
+    assert rec["sample_mae"] < 0.6  # unit-variance posterior noise bounds this
+    assert np.isfinite(rec["sample_rmse"])
