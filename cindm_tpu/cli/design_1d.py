@@ -29,8 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_steps", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--design_guidance", default="standard-recurrence-10")
-    p.add_argument("--design_coef", type=float, default=100.0)
-    p.add_argument("--consistency_coef", type=float, default=0.0)
+    p.add_argument("--design_coef", type=float, default=0.2)  # scripts_paper/1D/cindm.sh
+    p.add_argument("--consistency_coef", type=float, default=0.2)
     p.add_argument("--design_fn_mode", default="L2")
     p.add_argument("--compose_n_bodies", type=int, default=2)
     p.add_argument("--n_composed", type=int, default=0)

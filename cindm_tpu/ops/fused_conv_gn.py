@@ -77,12 +77,32 @@ def _kernel(x_ref, w_ref, b_ref, gs_ref, gb_ref, o_ref, *, K, groups, eps):
             xs.reshape(Bt * T, C), w_ref[k], preferred_element_type=jnp.float32
         )
     acc = acc + b_ref[:][None, :]
-    accg = acc.reshape(Bt, T, groups, O // groups)
-    mean = jnp.mean(accg, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(accg - mean), axis=(1, 3), keepdims=True)
-    accg = (accg - mean) * jax.lax.rsqrt(var + eps)
-    out = accg.reshape(Bt, T, O) * gs_ref[:][None, None, :] + gb_ref[:][None, None, :]
-    o_ref[:] = _mish(out).astype(o_ref.dtype)
+
+    # GroupNorm per (sample, group) as matmuls — Mosaic rejects the 4D
+    # [Bt, T, G, O/G] reshape (non-128 last dim), so the group and sample
+    # reductions/broadcasts go through one-hot matrices on the MXU instead.
+    og = O // groups
+    ch = jax.lax.broadcasted_iota(jnp.int32, (O, groups), 0) // og
+    gid = jax.lax.broadcasted_iota(jnp.int32, (O, groups), 1)
+    Mg = (ch == gid).astype(jnp.float32)  # [O, G] channel→group one-hot
+    row = jax.lax.broadcasted_iota(jnp.int32, (Bt * T, Bt), 0) // T
+    sid = jax.lax.broadcasted_iota(jnp.int32, (Bt * T, Bt), 1)
+    S = (row == sid).astype(jnp.float32)  # [Bt*T, Bt] row→sample one-hot
+
+    denom = 1.0 / (T * og)
+    gsum = jnp.dot(acc, Mg, preferred_element_type=jnp.float32)  # [BtT, G]
+    mean = jnp.dot(S.T, gsum, preferred_element_type=jnp.float32) * denom  # [Bt, G]
+    g2 = jnp.dot(acc * acc, Mg, preferred_element_type=jnp.float32)
+    m2 = jnp.dot(S.T, g2, preferred_element_type=jnp.float32) * denom
+    # broadcast [Bt, G] stats back to [BtT, O]
+    mean_b = jnp.dot(jnp.dot(S, mean, preferred_element_type=jnp.float32), Mg.T,
+                     preferred_element_type=jnp.float32)
+    m2_b = jnp.dot(jnp.dot(S, m2, preferred_element_type=jnp.float32), Mg.T,
+                   preferred_element_type=jnp.float32)
+    var_b = m2_b - mean_b * mean_b
+    out = (acc - mean_b) * jax.lax.rsqrt(var_b + eps)
+    out = out * gs_ref[:][None, :] + gb_ref[:][None, :]
+    o_ref[:] = _mish(out).reshape(Bt, T, O).astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("groups", "eps", "batch_tile"))

@@ -16,7 +16,7 @@ for NB in 2 4; do
 python -m cindm_tpu.cli.design_1d \
   --dataset nbody-2 --model_path ./results/nbody-2 \
   --compose_n_bodies $NB --n_composed 0 \
-  --design_guidance standard-recurrence-10 --design_coef 100 \
+  --design_guidance standard-recurrence-10 --design_coef 0.2 --consistency_coef 0.2 \
   --batch_size 500 --sample_steps 1000
 done
 
@@ -25,6 +25,6 @@ for NC in 1 2 3; do
 python -m cindm_tpu.cli.design_1d \
   --dataset nbody-2 --model_path ./results/nbody-2 \
   --compose_n_bodies 8 --n_composed $NC --compose_start_step 4 \
-  --design_guidance standard-recurrence-10 --design_coef 100 \
+  --design_guidance standard-recurrence-10 --design_coef 0.2 --consistency_coef 0.2 \
   --batch_size 500 --sample_steps 1000
 done
