@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compose_start_step", type=int, default=4)
     p.add_argument("--target", type=float, nargs=2, default=[0.5, 0.5])
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--host_chunks", type=int, default=10,
+                   help="split the reverse loop into N device launches (same numerics)")
     return p
 
 
@@ -98,6 +100,7 @@ def main(argv=None):
         n_composed=args.n_composed, compose_start_step=args.compose_start_step,
         compose_n_bodies=args.compose_n_bodies, compose_mode=args.compose_mode,
         sample_steps=args.sample_steps,
+        host_chunks=args.host_chunks,
     )
 
     total_rollout = out.shape[1] - 1

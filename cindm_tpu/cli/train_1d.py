@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--gradient_accumulate_every", type=int, default=2)
     p.add_argument("--is_testdata", type=lambda s: s == "True", default=True)
+    p.add_argument("--resume", type=lambda s: s == "True", default=False,
+                   help="resume from the latest milestone in results_folder "
+                        "(Trainer1D.load semantics, model/diffusion_1d.py:2649-2667)")
     return p
 
 
@@ -140,16 +143,27 @@ def main(argv=None):
 
     state = init_train_state(params, make_optimizer(tcfg))
     mngr = CheckpointManager(args.results_folder)
+    start = 0
+    if args.resume and mngr.latest_milestone() is not None:
+        state = mngr.load(template=state)
+        start = int(state["step"])
+        print(f"resumed from step {start} (milestone {mngr.latest_milestone()})")
     it = ds.iterate_batches(args.batch_size, seed=args.seed)
-    for i in range(args.train_num_steps):
+    for i in range(start, args.train_num_steps):
         batch = {k: jnp.asarray(v) for k, v in next(it).items()}
         state, loss = step(state, batch, jax.random.fold_in(key, i))
+        loss_f = float(loss)
+        if not np.isfinite(loss_f):
+            # NaN guard: stop before poisoning checkpoints (the reference
+            # rolls back to the last good checkpoint,
+            # inference_1d_composing_time_steps.py:141-149)
+            raise FloatingPointError(f"non-finite loss at step {i+1}: {loss_f}")
         if (i + 1) % args.save_and_sample_every == 0:
             milestone = (i + 1) // args.save_and_sample_every
             mngr.save(milestone, state)
-            print(f"step {i+1}: loss {float(loss):.6f} (saved milestone {milestone})")
+            print(f"step {i+1}: loss {loss_f:.6f} (saved milestone {milestone})")
         else:
-            print(f"step {i+1}: loss {float(loss):.6f}")
+            print(f"step {i+1}: loss {loss_f:.6f}")
     return state
 
 

@@ -103,6 +103,7 @@ def sample(
     initial_state_overwrite: Optional[jax.Array] = None,
     sample_steps: Optional[int] = None,
     init_img: Optional[jax.Array] = None,
+    host_chunks: int = 1,
 ) -> jax.Array:
     """Sampling dispatcher (`model/diffusion_1d.py:2329-2376`): DDIM when
     sample_steps < T, else full ancestral; composed ε-model when requested."""
@@ -144,5 +145,5 @@ def sample(
         sched, model, shape, key,
         cond=cond, design_fn=design_fn, guidance=guidance,
         initial_state_overwrite=initial_state_overwrite,
-        objective=cfg.objective, init_img=init_img,
+        objective=cfg.objective, init_img=init_img, host_chunks=host_chunks,
     )

@@ -182,12 +182,18 @@ def p_sample_loop(
     clip_denoised: bool = True,
     objective: str = "pred_noise",
     init_img: Optional[jax.Array] = None,
+    host_chunks: int = 1,
 ) -> jax.Array:
     """Full T→0 ancestral loop as one scan (`model/diffusion_1d.py:1655-1720`).
 
     ``cond`` (with conditioned_steps == 0 semantics) is inpainted into the
     first steps by re-noising it to level t each iteration
     (`model/diffusion_1d.py:1715-1718`).
+
+    ``host_chunks`` > 1 splits the reverse loop into that many device
+    launches (identical numerics): a single multi-minute launch can trip
+    the TPU runtime's execution watchdog on heavy composed configs; short
+    chunks keep the same compiled program (one compile, reused per chunk).
     """
     T = sched.num_timesteps
     key, k0 = jax.random.split(key)
@@ -211,7 +217,21 @@ def p_sample_loop(
         return (img, key), None
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    (img, _), _ = jax.lax.scan(step, (img, key), ts)
+    if host_chunks <= 1:
+        (img, _), _ = jax.lax.scan(step, (img, key), ts)
+        return img
+
+    assert T % host_chunks == 0, (T, host_chunks)
+    chunk = T // host_chunks
+
+    @jax.jit
+    def run_chunk(img, key, ts_chunk):
+        (img, key), _ = jax.lax.scan(step, (img, key), ts_chunk)
+        return img, key
+
+    for c in range(host_chunks):
+        img, key = run_chunk(img, key, ts[c * chunk : (c + 1) * chunk])
+        img.block_until_ready()
     return img
 
 

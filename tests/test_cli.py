@@ -85,3 +85,19 @@ def test_design_2d_baseline_cem_smoke():
         "--N", "8", "--Ne", "2",
     ])
     assert np.isfinite(record["obj_last"])
+
+
+def test_train_1d_resume(tmp_path):
+    from cindm_tpu.cli.train_1d import main
+
+    common = [
+        "--n_sims", "4", "--batch_size", "4", "--Unet_dim", "16",
+        "--save_and_sample_every", "2",
+        "--results_folder", str(tmp_path / "r"),
+        "--dataset_path", str(tmp_path / "d"),
+        "--gradient_accumulate_every", "1",
+    ]
+    s1 = main(["--train_num_steps", "2"] + common)
+    assert int(s1["step"]) == 2
+    s2 = main(["--train_num_steps", "4", "--resume", "True"] + common)
+    assert int(s2["step"]) == 4

@@ -57,3 +57,27 @@ def test_time_embedding_changes_output():
     o1 = model.apply(params, x, jnp.array([0]))
     o2 = model.apply(params, x, jnp.array([900]))
     assert not jnp.allclose(o1, o2)
+
+
+def test_golden_values_regression():
+    """Golden-value guard: fixed seed + fixed input must reproduce the
+    recorded activations (catches silent numerical regressions; the
+    reference has no such guard — SURVEY.md §4)."""
+    import numpy as np
+
+    model = TemporalUnet1D(horizon=24, transition_dim=8, dim=16, attention=True)
+    x = jnp.linspace(-1, 1, 2 * 24 * 8).reshape(2, 24, 8)
+    t = jnp.array([7, 423])
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    out = model.apply(params, x, t)
+    np.testing.assert_allclose(float(out.sum()), 57.049736, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, :4]),
+        [0.0002423227, -0.14058116, -0.01790789, 0.4388479],
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[1, -1, :4]),
+        [0.2306819, -0.23320648, -0.08968508, 0.04371372],
+        rtol=1e-4, atol=1e-6,
+    )
