@@ -22,6 +22,9 @@ BASELINE_FWDS_PER_SEC = 25_000.0
 
 def main():
     from cindm_tpu.core import make_schedule
+    from cindm_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from cindm_tpu.models import TemporalUnet1D
     from cindm_tpu.sampling import GuidanceSpec, get_design_fn, make_composed_eps_model
     from cindm_tpu.sampling.sampler import p_sample_step

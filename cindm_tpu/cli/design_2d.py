@@ -35,6 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--p_max", type=float, default=1.0)
     p.add_argument("--evaluate", type=lambda s: s == "True", default=True)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--host_chunks", type=int, default=10)
     return p
 
 
@@ -80,6 +81,7 @@ def main(argv=None):
         cfg, sched, eps, jax.random.PRNGKey(args.seed),
         batch=args.batch_size, num_boundaries=args.num_boundaries,
         design_fn=design_fn, design_guidance=args.design_guidance,
+        host_chunks=args.host_chunks,
     )
     # post-process: mask → polygons, reject overlapping designs
     out_np = np.asarray(out)

@@ -192,9 +192,12 @@ def p_sample_loop_2d(
     num_boundaries: int,
     design_fn: Optional[DesignGradFn] = None,
     design_guidance: str = "standard-alpha",
+    host_chunks: int = 1,
 ) -> jax.Array:
     """Full ancestral loop (`model/diffusion_2d.py:892-907`).
-    Returns [B, nb, H, W, C]."""
+    Returns [B, nb, H, W, C]. ``host_chunks`` splits the loop into short
+    device launches (identical numerics) to stay under the TPU runtime's
+    long-launch watchdog on big configs."""
     H = W = cfg.image_size
     C = cfg.channels
     key, k0 = jax.random.split(key)
@@ -211,7 +214,21 @@ def p_sample_loop_2d(
         return (img, key), None
 
     ts = jnp.arange(cfg.timesteps - 1, -1, -1, dtype=jnp.int32)
-    (img, _), _ = jax.lax.scan(step, (img, key), ts)
+    if host_chunks <= 1:
+        (img, _), _ = jax.lax.scan(step, (img, key), ts)
+        return img.reshape(batch, num_boundaries, H, W, C)
+
+    assert cfg.timesteps % host_chunks == 0
+    chunk = cfg.timesteps // host_chunks
+
+    @jax.jit
+    def run_chunk(img, key, ts_chunk):
+        (img, key), _ = jax.lax.scan(step, (img, key), ts_chunk)
+        return img, key
+
+    for c in range(host_chunks):
+        img, key = run_chunk(img, key, ts[c * chunk : (c + 1) * chunk])
+        img.block_until_ready()
     return img.reshape(batch, num_boundaries, H, W, C)
 
 

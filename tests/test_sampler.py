@@ -121,3 +121,14 @@ def test_sample_dispatcher_composed_shapes():
         compose_n_bodies=4, compose_mode="mean-inside",
     )
     assert out.shape == (2, 28, 16)
+
+
+def test_host_chunks_identical_numerics():
+    """Splitting the reverse loop into host-level chunks must not change
+    the samples (same keys, same compiled step)."""
+    shape = (4, 8, 4)
+    a = p_sample_loop(SCHED, perfect_eps_model, shape, jax.random.PRNGKey(7))
+    b = p_sample_loop(
+        SCHED, perfect_eps_model, shape, jax.random.PRNGKey(7), host_chunks=4
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
