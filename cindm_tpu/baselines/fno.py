@@ -15,8 +15,6 @@ tests/test_baselines.py) because only the kept modes ever carry weight.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

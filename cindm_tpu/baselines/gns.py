@@ -23,8 +23,6 @@ Preserved semantics:
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

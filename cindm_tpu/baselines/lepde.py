@@ -12,8 +12,6 @@ reconstruction + latent consistency + multi-step prediction
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

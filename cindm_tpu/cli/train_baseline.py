@@ -38,8 +38,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    import optax
-
     from ..baselines import FNO2d, LEPDE, LEPDEConfig, lepde_loss
     from ..data.airfoil import AirfoilDataset, AirfoilDatasetConfig, generate_airfoil_sims
     from ..physics.bdim import BDIMConfig

@@ -10,7 +10,7 @@ to the samplers; XLA partitions the whole scan.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -37,7 +37,6 @@ the transpose of the image convention used by the saved 64×64 datasets
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import NamedTuple
 

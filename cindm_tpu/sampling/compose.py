@@ -20,7 +20,6 @@ All shapes are static; XLA sees one big conv workload per reverse step.
 from __future__ import annotations
 
 import itertools
-from functools import partial
 from typing import Callable, Literal
 
 import jax

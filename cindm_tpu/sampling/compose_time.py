@@ -20,8 +20,6 @@ TPU-native re-design of the reference's additional compositional modes
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ unconditional sampling, guided sampling, and compositional sampling.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

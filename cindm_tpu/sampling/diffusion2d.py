@@ -142,28 +142,27 @@ def p_sample_2d(
     design_guidance: str = "standard-alpha",
 ) -> tuple[jax.Array, jax.Array]:
     """One guided reverse step (`model/diffusion_2d.py:787-889`). Non-recurrence
-    order preserved: noise added first, guidance subtracted after."""
+    order preserved: noise added first, guidance subtracted after. Recurrence
+    variants ("...-recurrence-K") re-noise back to level t K times like the
+    1D sampler (`model/diffusion_2d.py:846-889`)."""
+    import re as _re
+
     Bnb, H, W, C = x.shape
     t_b = jnp.full((Bnb,), t, dtype=jnp.int32)
     coeff_sched = cfg.coeff_ratio * jnp.flip(sched.betas)
     eta = coeff_sched[t]
 
-    mean, logvar, x_start = _model_predictions(
-        cfg, sched, eps_model, x, t_b, num_boundaries
-    )
-    key, kn = jax.random.split(key)
-    noise = sample_noise(kn, batch, num_boundaries, H, W, C)
-    noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
-    pred_img = mean + jnp.exp(0.5 * logvar) * noise
+    m = _re.match(r"^(.*?)(?:-recurrence-(\d+))?$", design_guidance)
+    base, rec = m.group(1), int(m.group(2) or 0)
 
-    if design_fn is not None:
-        if design_guidance == "standard":
-            g = cfg.standard_fixed_ratio * design_fn(x)
-        elif design_guidance == "standard-alpha":
-            g = eta * design_fn(x)
-        elif design_guidance == "universal-forward":
-            g = cfg.forward_fixed_ratio * design_fn(x_start)
-        elif design_guidance == "universal-backward":
+    def guidance_grad(x, x_start):
+        if base == "standard":
+            return cfg.standard_fixed_ratio * design_fn(x)
+        if base == "standard-alpha":
+            return eta * design_fn(x)
+        if base == "universal-forward":
+            return cfg.forward_fixed_ratio * design_fn(x_start)
+        if base == "universal-backward":
             def body(kk, carry):
                 xc, snap = carry
                 gr = design_fn(xc)
@@ -174,12 +173,44 @@ def p_sample_2d(
                 0, cfg.backward_steps, body, (x_start, jnp.zeros_like(x_start))
             )
             delta = xc - x_start
-            g = snap - dd.extract(sched.backward_delta_coef, t_b, x.ndim) * delta
-        else:
-            raise ValueError(f"unknown design_guidance {design_guidance}")
-        pred_img = pred_img - g
+            return snap - dd.extract(sched.backward_delta_coef, t_b, x.ndim) * delta
+        raise ValueError(f"unknown design_guidance {design_guidance}")
 
-    return pred_img, x_start
+    if rec == 0 or design_fn is None:
+        mean, logvar, x_start = _model_predictions(
+            cfg, sched, eps_model, x, t_b, num_boundaries
+        )
+        key, kn = jax.random.split(key)
+        noise = sample_noise(kn, batch, num_boundaries, H, W, C)
+        noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+        pred_img = mean + jnp.exp(0.5 * logvar) * noise
+        if design_fn is not None:
+            pred_img = pred_img - guidance_grad(x, x_start)
+        return pred_img, x_start
+
+    # recurrence: relax back to level t with state-shared noise each pass
+    def rbody(r, carry):
+        x_cur, _, _, key = carry
+        key, k1 = jax.random.split(key)
+        mean, logvar, x_start = _model_predictions(
+            cfg, sched, eps_model, x_cur, t_b, num_boundaries
+        )
+        pred_img = mean - guidance_grad(x_cur, x_start)
+        noise_prime = sample_noise(k1, batch, num_boundaries, H, W, C)
+        nd = x_cur.ndim
+        x_next = (
+            dd.extract(sched.sqrt_alpha_ratio, t_b, nd) * pred_img
+            + dd.extract(sched.sqrt_one_minus_alpha_ratio, t_b, nd) * noise_prime
+        )
+        return x_next, pred_img, x_start, key
+
+    init = (x, jnp.zeros_like(x), jnp.zeros_like(x), key)
+    _, pred_img, x_start, key = jax.lax.fori_loop(0, rec, rbody, init)
+    logvar = dd.extract(sched.posterior_log_variance_clipped, t_b, x.ndim)
+    key, kn = jax.random.split(key)
+    noise = sample_noise(kn, batch, num_boundaries, H, W, C)
+    noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+    return pred_img + jnp.exp(0.5 * logvar) * noise, x_start
 
 
 def p_sample_loop_2d(

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from functools import partial
 from typing import Callable, Literal, Optional
 
 import jax

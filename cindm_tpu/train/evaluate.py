@@ -6,8 +6,6 @@ and on-device re-simulation of the designed initial state.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 import collections
 import contextlib
 import time
-from typing import Optional
-
 import jax
 import numpy as np
 

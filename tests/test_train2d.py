@@ -69,3 +69,16 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert mngr.latest_milestone() == 1
+
+
+def test_2d_recurrence_guidance_runs():
+    cfg, model, params, sched = _setup()
+    eps = lambda x, t: model.apply(params, x, t)
+    # design_fn returns the gradient directly (2D convention)
+    design_fn = lambda x: 0.01 * x
+    out = p_sample_loop_2d(
+        cfg, sched, eps, jax.random.PRNGKey(5), batch=1, num_boundaries=2,
+        design_fn=design_fn, design_guidance="standard-alpha-recurrence-2",
+    )
+    assert out.shape == (1, 2, 16, 16, cfg.channels)
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -81,3 +81,24 @@ def test_golden_values_regression():
         [0.2306819, -0.23320648, -0.08968508, 0.04371372],
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_generic_unet1d_shapes():
+    from cindm_tpu.models import Unet1D
+
+    m = Unet1D(dim=16, channels=8, dim_mults=(1, 2))
+    x = jnp.zeros((2, 16, 8))
+    t = jnp.array([0, 100])
+    params = m.init(jax.random.PRNGKey(0), x, t)
+    out = m.apply(params, x, t)
+    assert out.shape == (2, 16, 8)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_generic_unet1d_fourier_time():
+    from cindm_tpu.models import Unet1D
+
+    m = Unet1D(dim=16, channels=4, dim_mults=(1, 2), learned_sinusoidal_cond=True)
+    x = jnp.zeros((1, 8, 4))
+    params = m.init(jax.random.PRNGKey(0), x, jnp.array([5]))
+    assert m.apply(params, x, jnp.array([5])).shape == (1, 8, 4)
