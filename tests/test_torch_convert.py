@@ -136,3 +136,21 @@ def test_full_model_conversion_structure_and_forward():
     out = model.apply(params, jnp.ones((2, 24, 8)) * 0.1, jnp.array([5, 10]))
     assert out.shape == (2, 24, 8)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_load_reference_checkpoint_pt(tmp_path):
+    """Round-trip a reference-style .pt milestone dict through the loader
+    (`model/diffusion_1d.py:2635-2647` layout, EMA-prefixed keys)."""
+    sd = _synthetic_state_dict()
+    tsd = {f"ema_model.{k}": torch.tensor(v) for k, v in sd.items()}
+    ckpt = {"step": 123, "model": {}, "ema": tsd, "opt": {}, "scaler": None}
+    path = str(tmp_path / "model-9.pt")
+    torch.save(ckpt, path)
+
+    from cindm_tpu.utils.torch_convert import load_reference_checkpoint
+
+    params = load_reference_checkpoint(path, horizon=24)
+    model = TemporalUnet1D(horizon=24, transition_dim=8, dim=64, attention=True)
+    out = model.apply(params, jnp.ones((1, 24, 8)) * 0.1, jnp.array([3]))
+    assert out.shape == (1, 24, 8)
+    assert bool(jnp.all(jnp.isfinite(out)))
