@@ -127,3 +127,29 @@ def test_outside_composition_clips_pairwise():
     np.testing.assert_allclose(
         np.asarray(inside(x_small, t2)), np.asarray(outside(x_small, t2)), rtol=1e-4, atol=1e-6
     )
+
+
+def test_trivial_composition_equals_plain_sampling():
+    """n=2 bodies, no extra windows: the composed path (K=1, P=1,
+    mean-inside) must reproduce plain p_sample_loop exactly."""
+    import jax
+    from cindm_tpu.core import make_schedule
+    from cindm_tpu.sampling import Diffusion1DConfig, p_sample_loop, sample
+
+    T = 20
+    sched = make_schedule(T)
+    mu = 0.2
+
+    def eps(x, t):
+        sa = sched.sqrt_alphas_cumprod[t][:, None, None]
+        s1 = sched.sqrt_one_minus_alphas_cumprod[t][:, None, None]
+        return (x - sa * mu) / s1
+
+    cfg = Diffusion1DConfig(rollout_steps=8, timesteps=T)
+    key = jax.random.PRNGKey(0)
+    plain = p_sample_loop(sched, eps, (4, 8, 8), key)
+    composed = sample(
+        cfg, sched, eps, key, batch_size=4, feature_size=8,
+        compose_n_bodies=2, n_composed=0, compose_mode="mean-inside",
+    )
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(composed), rtol=1e-4, atol=1e-5)
