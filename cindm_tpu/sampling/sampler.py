@@ -128,7 +128,7 @@ def p_sample_step(
     B = x.shape[0]
     t_b = jnp.full((B,), t, dtype=jnp.int32)
 
-    def one_pass(x, key):
+    def one_pass(x):
         mean, logvar, x_start = _p_mean_variance(
             sched, eps_model, x, t_b, objective, clip_denoised
         )
@@ -143,14 +143,14 @@ def p_sample_step(
     rec = guidance.recurrence if (guidance is not None and design_fn is not None) else 0
     if rec == 0:
         key_n, _ = jax.random.split(key)
-        pred_img, logvar, x_start = one_pass(x, key)
+        pred_img, logvar, x_start = one_pass(x)
     else:
         # self-recurrence: re-noise pred_img back to level t each iteration
         # (`model/diffusion_1d.py:1125-1182`)
         def body(r, carry):
             x_cur, _, _, key = carry
             key, k1 = jax.random.split(key)
-            pred_img, logvar, x_start = one_pass(x_cur, k1)
+            pred_img, logvar, x_start = one_pass(x_cur)
             noise_prime = jax.random.normal(k1, pred_img.shape, pred_img.dtype)
             nd = x_cur.ndim
             x_next = (
