@@ -166,7 +166,13 @@ class ResidualTemporalBlock(nn.Module):
 
 class LinearAttentionTemporal(nn.Module):
     """Softmax-kernel linear attention over the time axis
-    (`model/diffusion_1d.py:272-291`). Input [B, T, C]."""
+    (`model/diffusion_1d.py:272-291`). Input [B, T, C].
+
+    Computed block-dense: instead of per-head [T, 32]ᵀ[T, 32] contractions
+    (25% MXU lane utilization at dim_head 32), the context is ONE
+    [hidden, hidden] = kᵀv matmul masked to the per-head block diagonal —
+    bit-identical output, 128-lane-shaped matmuls, measured ~3× faster on
+    the composed-sampling hot path (RESULTS.md)."""
 
     dim: int
     heads: int = 4
@@ -178,13 +184,14 @@ class LinearAttentionTemporal(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = Dense(hidden * 3, use_bias=False)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda a: a.reshape(B, T, self.heads, self.dim_head)
-        q, k, v = split(q), split(k), split(v)
+        # per-head softmax over time == channelwise softmax over time
+        k = jax.nn.softmax(k, axis=1)
         q = q * (self.dim_head**-0.5)
-        k = jax.nn.softmax(k, axis=1)  # softmax over time axis
-        context = jnp.einsum("bthd,bthe->bhde", k, v)
-        out = jnp.einsum("bhde,bthd->bthe", context, q)
-        out = out.reshape(B, T, hidden)
+        # block-diagonal head mask [hidden, hidden]
+        hid = jnp.arange(hidden) // self.dim_head
+        mask = (hid[:, None] == hid[None, :]).astype(x.dtype)
+        context = jnp.einsum("btc,bte->bce", k, v) * mask
+        out = jnp.einsum("btc,bce->bte", q, context)
         return Dense(self.dim)(out)
 
 
@@ -203,14 +210,17 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = Dense(hidden * 3, use_bias=False)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda a: a.reshape(B, N, self.heads, self.dim_head)
-        q, k, v = split(q), split(k), split(v)
-        q = jax.nn.softmax(q, axis=-1)  # over head dim (torch dim=-2 in [b,h,c,n])
-        k = jax.nn.softmax(k, axis=1)  # over sequence
-        q = q * (self.dim_head**-0.5)
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
-        out = out.reshape(B, N, hidden)
+        # q softmax is per-head over dim_head (torch dim=-2 in [b,h,c,n])
+        q = jax.nn.softmax(
+            q.reshape(B, N, self.heads, self.dim_head), axis=-1
+        ).reshape(B, N, hidden) * (self.dim_head**-0.5)
+        k = jax.nn.softmax(k, axis=1)  # over sequence, channelwise == per-head
+        # block-dense context (see LinearAttentionTemporal): one
+        # [hidden, hidden] matmul masked to the head block diagonal
+        hid = jnp.arange(hidden) // self.dim_head
+        mask = (hid[:, None] == hid[None, :]).astype(x.dtype)
+        context = jnp.einsum("bnc,bne->bce", k, v) * mask
+        out = jnp.einsum("bnc,bce->bne", q, context)
         out = Dense(self.dim)(out)
         return ChannelLayerNorm(self.dim)(out)
 

@@ -134,14 +134,16 @@ class LinearAttention2D(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = Dense(hidden * 3, use_bias=False)(xf)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda a: a.reshape(B, N, self.heads, self.dim_head)
-        q, k, v = split(q), split(k), split(v)
-        q = jax.nn.softmax(q, axis=-1)
+        q = jax.nn.softmax(
+            q.reshape(B, N, self.heads, self.dim_head), axis=-1
+        ).reshape(B, N, hidden) * (self.dim_head**-0.5)
         k = jax.nn.softmax(k, axis=1)
-        q = q * (self.dim_head**-0.5)
         v = v / (H * W)
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q).reshape(B, N, hidden)
+        # block-dense head-masked context (see models/blocks.py)
+        hid = jnp.arange(hidden) // self.dim_head
+        mask = (hid[:, None] == hid[None, :]).astype(x.dtype)
+        context = jnp.einsum("bnc,bne->bce", k, v) * mask
+        out = jnp.einsum("bnc,bce->bne", q, context)
         out = Dense(self.dim)(out)
         out = ChannelLayerNorm(self.dim)(out)
         return out.reshape(B, H, W, self.dim)
