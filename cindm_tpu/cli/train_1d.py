@@ -159,9 +159,10 @@ def main(argv=None):
             # inference_1d_composing_time_steps.py:141-149)
             raise FloatingPointError(f"non-finite loss at step {i+1}: {loss_f}")
         if (i + 1) % args.save_and_sample_every == 0:
-            milestone = (i + 1) // args.save_and_sample_every
-            mngr.save(milestone, state)
-            print(f"step {i+1}: loss {loss_f:.6f} (saved milestone {milestone})")
+            # milestone id = global step: monotonic across resumed runs with
+            # different save intervals, so "latest" is always the newest
+            mngr.save(i + 1, state)
+            print(f"step {i+1}: loss {loss_f:.6f} (saved milestone {i+1})")
         else:
             print(f"step {i+1}: loss {loss_f:.6f}")
     return state

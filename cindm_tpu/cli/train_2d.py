@@ -81,7 +81,7 @@ def main(argv=None):
         batch = {"x": jnp.asarray(b["x"]), "cond": jnp.asarray(b["cond"])}
         state, loss = step(state, batch, jax.random.fold_in(key, i))
         if (i + 1) % args.save_and_sample_every == 0:
-            mngr.save((i + 1) // args.save_and_sample_every, state)
+            mngr.save(i + 1, state)
         print(f"step {i+1}: loss {float(loss):.6f}")
     return state
 
