@@ -83,7 +83,9 @@ class GNSNet(nn.Module):
 
         # dense edges
         dvec = (pos_last[:, :, None, :] - pos_last[:, None, :, :]) / cfg.radius  # [B,n,n,2] sender i → receiver j is [i, j]?
-        dist = jnp.linalg.norm(dvec, axis=-1, keepdims=True)
+        # safe norm: self-edges have dvec == 0 and jnp.linalg.norm has a NaN
+        # gradient at 0 (torch defines it as 0) — poisons GNS training
+        dist = jnp.sqrt(jnp.sum(jnp.square(dvec), axis=-1, keepdims=True) + 1e-12)
         edges_in = jnp.concatenate([dvec, dist], axis=-1)  # [B, n, n, 3]
         eye = jnp.eye(n, dtype=bool)[None]
         adj = dist[..., 0] < 1.0  # dist already /radius
@@ -128,6 +130,74 @@ def gns_rollout(
 
     _, traj = jax.lax.scan(step, poss0, None, length=n_steps)
     return jnp.transpose(traj, (1, 2, 0, 3))
+
+
+def make_gns_loss(
+    apply_fn,
+    cfg: GNSConfig,
+    n_bodies: int,
+    mode: str,  # "autoregress" | "cond_one" | "direct"
+    time_interval: int = 4,
+    noise_std: float = 6.7e-7,
+):
+    """Training loss for the GNS family over diffusion-layout batches
+    {'x': [B, T, n*4] normalized}.
+
+    Reference semantics (`model/diffusion_1d.py:2798-2830`): rollout the
+    model, loss = L1(pred_poss, tgt_poss) + L1(pred_accns, tgt_accns), with
+    random-walk noise (NET.NOISE = 6.7e-7, `GNS_model/configs/Nbody.yaml:28`)
+    injected into the input history (`utils.py:1154-1168`).
+
+    Modes:
+    - "autoregress": Net semantics — real cfg.n_his-frame history, 1-step
+      model rolled out over the remaining window (`dyn_model.py:122-197`).
+    - "cond_one": Net_cond_one — conditioned on ONE (pos, vel) frame; the
+      2-frame history is synthesized by constant-velocity back-extrapolation,
+      exactly how the design driver feeds it (`dyn_model.py:210`,
+      `inverse_design_1d_baseline.py:440-478`).
+    - "direct": Net_cond_one with output_size = 2·k — one call predicts all
+      k accelerations, integrated twice (`dyn_model.py:157-180`).
+    """
+    from ..utils.extras import random_walk_noise
+
+    def loss_fn(params, batch, key):
+        x = batch["x"]  # [B, T, n*4]
+        B, T, _ = x.shape
+        xr = x.reshape(B, T, n_bodies, 4)
+        pos = jnp.transpose(xr[..., :2], (0, 2, 1, 3))  # [B, n, T, 2]
+        if mode == "autoregress":
+            H = cfg.n_his
+            hist = pos[:, :, :H]
+            tgt = pos[:, :, H:]
+        else:
+            # one (pos, vel) frame → 2-frame history; vel is stored in raw
+            # units/200, one window frame spans time_interval sim steps
+            vel0 = jnp.transpose(xr[..., 2:], (0, 2, 1, 3))[:, :, 0] * (
+                time_interval / 60.0
+            )
+            p0 = pos[:, :, 0]
+            hist = jnp.stack([p0 - vel0, p0], axis=2)  # [B, n, 2, 2]
+            tgt = pos[:, :, 1:]
+        if noise_std > 0:
+            Hh = hist.shape[2]
+            noise = random_walk_noise(key, (B * n_bodies, Hh, 2), noise_std)
+            hist = hist + noise.reshape(hist.shape)
+        k = tgt.shape[2]
+        ptype = jnp.zeros((B, n_bodies), jnp.int32)
+        if mode == "direct":
+            pred = gns_direct_rollout(apply_fn, params, hist, ptype, k)
+        else:
+            pred = gns_rollout(apply_fn, params, hist, ptype, k)
+        pad = hist[:, :, -2:]
+
+        def accs(seq):  # second differences: a_j = p_{j+1} - 2 p_j + p_{j-1}
+            return seq[:, :, 2:] - 2 * seq[:, :, 1:-1] + seq[:, :, :-2]
+
+        pred_acc = accs(jnp.concatenate([pad, pred], axis=2))
+        tgt_acc = accs(jnp.concatenate([pad, tgt], axis=2))
+        return jnp.mean(jnp.abs(pred - tgt)) + jnp.mean(jnp.abs(pred_acc - tgt_acc))
+
+    return loss_fn
 
 
 def gns_direct_rollout(

@@ -87,12 +87,23 @@ def main(argv=None):
                 )
                 return jnp.transpose(traj, (1, 0, 2))
     else:
-        gcfg = GNSConfig(out_size=2 if args.method_type == "GNS_autoregress"
+        # Both GNS design baselines use Net_cond_one semantics — conditioned
+        # on ONE (pos, vel) frame, i.e. a 2-frame synthesized history
+        # (`inverse_design_1d_baseline.py:440-478`); trained by
+        # `train_1d --method_type GNS_cond_one|GNS_direct`.
+        gcfg = GNSConfig(n_his=2,
+                         out_size=2 if args.method_type == "GNS_autoregress"
                          else 2 * args.rollout_steps)
         model = GNSNet(gcfg)
         poss0 = jnp.zeros((1, args.n_bodies, gcfg.n_his, 2))
         ptype0 = jnp.zeros((1, args.n_bodies), jnp.int32)
         params = model.init(key, poss0, ptype0)
+        try:
+            mngr = CheckpointManager(args.model_path)
+            template = init_train_state(params, make_optimizer(TrainConfig()))
+            params = mngr.load(args.milestone, template=template)["ema_params"]
+        except FileNotFoundError:
+            print("warning: no checkpoint found, using random init")
 
         def rollout_fn(cond):
             c = cond.reshape(-1, args.n_bodies, 4)

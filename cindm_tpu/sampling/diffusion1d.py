@@ -63,10 +63,14 @@ def p_losses(
     t = jax.random.randint(kt, (B,), 0, cfg.timesteps)
     noise = jax.random.normal(kn, x_start.shape, x_start.dtype)
     x = dd.q_sample(sched, x_start, t, noise)
+    x_start_full = x_start
     if cfg.conditioned_steps != 0:
         assert cond is not None and cond.shape[1] == cfg.conditioned_steps
         x = jnp.concatenate([cond, x], axis=1)
         target_noise = jnp.concatenate([jnp.zeros_like(cond), noise], axis=1)
+        # pred_x0 / pred_v targets span the full horizon too (the clean cond
+        # is the x0 target on cond steps, matching the zero-noise target)
+        x_start_full = jnp.concatenate([cond, x_start], axis=1)
     else:
         target_noise = noise
     model_out = eps_model(x, t)
@@ -80,7 +84,7 @@ def p_losses(
         cfg.conditioned_steps, R, F, cfg.loss_weight_discount, x_start.dtype
     )
     return dd.diffusion_loss(
-        sched, model_out, x_start, target_noise, t,
+        sched, model_out, x_start_full, target_noise, t,
         objective=cfg.objective, loss_type=cfg.loss_type, loss_weight=weight,
     )
 
@@ -108,9 +112,13 @@ def sample(
     """Sampling dispatcher (`model/diffusion_1d.py:2329-2376`): DDIM when
     sample_steps < T, else full ancestral; composed ε-model when requested."""
     steps = sample_steps or cfg.sampling_timesteps or cfg.timesteps
-    if n_composed > 0 or compose_n_bodies > 2 or compose_mode in (
-        "mean-inside", "sum-inside", "mean", "noise_sum",
-    ):
+    cond_for_loop = cond
+    if n_composed > 0 or compose_n_bodies > 2:
+        # Composition is requested only when there is actually something to
+        # compose (extra windows or >2 bodies); a trivially-composed 2-body
+        # model is the identity, so the plain path below is equivalent and
+        # cheaper (`model/diffusion_1d.py:2339-2357` gates likewise on the
+        # compose args the CLI passes).
         # "mean"/"noise_sum" = outside composition: per-pair x̂0 clipping
         # before aggregation (`model/diffusion_1d.py:1379-1652`)
         outside = "inside" not in compose_mode
@@ -126,9 +134,24 @@ def sample(
             clip_pairwise_x_start=outside,
         )
         total_steps = cfg.horizon + n_composed * compose_start_step
+    elif cfg.conditioned_steps > 0:
+        # Conditioned model, no composition: concatenate the *clean* cond
+        # into the denoiser input and diffuse only the rollout part — the
+        # same semantics as training (p_losses) and the reference's
+        # model_predictions for conditioned models, instead of q-sample
+        # inpainting (which is the conditioned_steps==0 protocol,
+        # `model/diffusion_1d.py:1715-1718`).
+        assert cond is not None, "conditioned model needs cond at sampling"
+        base, c, k = eps_model, cond, cfg.conditioned_steps
+
+        def model(z, t):
+            return base(jnp.concatenate([c, z], axis=1), t)[:, k:]
+
+        total_steps = cfg.rollout_steps
+        cond_for_loop = None
     else:
         model = eps_model
-        total_steps = cfg.horizon if cfg.conditioned_steps == 0 else cfg.rollout_steps
+        total_steps = cfg.horizon
 
     shape = (batch_size, total_steps, feature_size)
     guidance = GuidanceSpec.parse(design_guidance, cfg.backward_steps, cfg.backward_lr)
@@ -137,13 +160,13 @@ def sample(
         return ddim_sample_loop(
             sched, model, shape, key,
             sampling_timesteps=steps, eta=cfg.ddim_sampling_eta,
-            cond=cond, design_fn=design_fn, guidance=guidance,
+            cond=cond_for_loop, design_fn=design_fn, guidance=guidance,
             initial_state_overwrite=initial_state_overwrite,
             objective=cfg.objective,
         )
     return p_sample_loop(
         sched, model, shape, key,
-        cond=cond, design_fn=design_fn, guidance=guidance,
+        cond=cond_for_loop, design_fn=design_fn, guidance=guidance,
         initial_state_overwrite=initial_state_overwrite,
         objective=cfg.objective, init_img=init_img, host_chunks=host_chunks,
     )

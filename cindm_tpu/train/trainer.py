@@ -9,9 +9,18 @@ with gradients reduced over the mesh 'data' axis by XLA collectives.
 Reference hyperparameters preserved:
 - Adam lr 1e-4, betas (0.9, 0.99)          `model/diffusion_1d.py:2610`
 - grad clip 1.0                            `model/diffusion_1d.py:2839`
-- EMA decay 0.995 applied every 10 steps   `model/diffusion_1d.py:2617`
+- EMA decay 0.995 applied every 10 steps, with ema_pytorch's warmup
+  semantics (copy online params for the first `update_after_step` steps,
+  then ramp decay as 1-(1+k)^-2/3 up to 0.995)
+                                           `model/diffusion_1d.py:2617`
 - StepLR(40000, 0.5) engaged only after step 600000
                                            `model/diffusion_1d.py:2612,2855-2856`
+
+With gradient accumulation, ``state['step']`` counts *applied optimizer
+updates* (the reference's step counts one per `opt.step()` after its
+accumulation inner loop, `model/diffusion_1d.py:2723-2863`), so EMA
+cadence, the LR schedule, and train_num_steps all match reference
+semantics regardless of gradient_accumulate_every.
 """
 
 from __future__ import annotations
@@ -36,6 +45,12 @@ class TrainConfig:
     grad_clip: float = 1.0
     ema_decay: float = 0.995
     ema_update_every: int = 10
+    # ema_pytorch defaults (reference EMA(beta=0.995, update_every=10),
+    # `model/diffusion_1d.py:2617`): copy-only warmup then decay ramp
+    ema_update_after_step: int = 100
+    ema_inv_gamma: float = 1.0
+    ema_power: float = 2.0 / 3.0
+    ema_min_value: float = 0.0
     lr_decay_start: int = 600_000
     lr_decay_every: int = 40_000
     lr_decay_factor: float = 0.5
@@ -89,18 +104,34 @@ def make_train_step_from_loss(
     """
     tx = make_optimizer(train_cfg)
 
-    def ema_update(ema, params, step):
-        # EMA(0.995) applied once every `ema_update_every` steps
-        do = (step % train_cfg.ema_update_every) == 0
-        d = jnp.where(do, train_cfg.ema_decay, 1.0)
+    def ema_decay_at(step):
+        # ema_pytorch.EMA semantics (`model/diffusion_1d.py:2617` uses its
+        # defaults): decay ramps as 1-(1+k/inv_gamma)^-power, clamped to
+        # [min_value, beta]; while step <= update_after_step the EMA copies
+        # the online params (decay 0).
+        k = jnp.maximum(step - train_cfg.ema_update_after_step - 1, 0).astype(jnp.float32)
+        d = 1.0 - (1.0 + k / train_cfg.ema_inv_gamma) ** (-train_cfg.ema_power)
+        d = jnp.clip(d, train_cfg.ema_min_value, train_cfg.ema_decay)
+        return jnp.where(step <= train_cfg.ema_update_after_step, 0.0, d)
+
+    def ema_update(ema, params, step, applied):
+        # applied once every `ema_update_every` *optimizer* steps
+        do = applied & ((step % train_cfg.ema_update_every) == 0)
+        d = jnp.where(do, ema_decay_at(step), 1.0)
         return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
 
     def step_fn(state, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch, key)
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
-        step = state["step"] + 1
-        ema = ema_update(state["ema_params"], params, step)
+        if train_cfg.gradient_accumulate_every > 1:
+            # MultiSteps applies an inner update every k-th call; count
+            # real optimizer steps, not micro-batches.
+            applied = opt_state.mini_step == 0
+        else:
+            applied = jnp.asarray(True)
+        step = state["step"] + applied.astype(state["step"].dtype)
+        ema = ema_update(state["ema_params"], params, step, applied)
         return (
             {"params": params, "ema_params": ema, "opt_state": opt_state, "step": step},
             loss,

@@ -205,9 +205,15 @@ def load_reference_checkpoint(path: str, **kwargs) -> dict:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("ema", ckpt.get("model", ckpt))
+    # The reference saves ema.state_dict() of EMA(GaussianDiffusion1D), so
+    # Unet weights are nested TWO levels deep: 'ema_model.model.*' (the EMA
+    # wrapper around the diffusion wrapper around the Unet). Strip each
+    # prefix level in turn; each keep-only filter also drops the sibling
+    # keys at that level (online_model.* / initted / step at the EMA level,
+    # betas / alphas_cumprod / loss_weight buffers at the diffusion level).
     if any(k.startswith("ema_model.") for k in sd):
         sd = {k[len("ema_model."):]: v for k, v in sd.items() if k.startswith("ema_model.")}
-    elif any(k.startswith("model.") for k in sd):
+    if any(k.startswith("model.") for k in sd):
         sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     return convert_temporal_unet1d(sd, **kwargs)

@@ -53,6 +53,78 @@ def test_design_1d_after_training(tmp_path):
     assert np.isfinite(record["MAE"])
 
 
+def test_train_1d_dp_mesh_and_eval(tmp_path):
+    """--n_devices shards the train step over the virtual 8-CPU mesh and
+    --eval_every runs the periodic EMA-sampling eval (VERDICT round-1 #8)."""
+    from cindm_tpu.cli.train_1d import main
+
+    state = main([
+        "--dataset", "nbody-2", "--n_sims", "6", "--test_sims", "2",
+        "--train_num_steps", "2", "--batch_size", "8", "--Unet_dim", "16",
+        "--save_and_sample_every", "2", "--n_devices", "8",
+        "--eval_every", "2", "--eval_batch", "4", "--eval_sample_steps", "5",
+        "--log_every", "1",
+        "--results_folder", str(tmp_path / "r"),
+        "--dataset_path", str(tmp_path / "d"),
+        "--gradient_accumulate_every", "1",
+    ])
+    assert int(state["step"]) == 2
+    assert (tmp_path / "r" / "eval_records.jsonl").exists()
+    rec = json.loads((tmp_path / "r" / "eval_records.jsonl").read_text().splitlines()[-1])
+    assert np.isfinite(rec["sample_mae"])
+
+
+def test_train_1d_grad_accum_counts_opt_steps(tmp_path):
+    """train_num_steps counts optimizer steps, not micro-batches."""
+    from cindm_tpu.cli.train_1d import main
+
+    state = main([
+        "--n_sims", "4", "--train_num_steps", "2", "--batch_size", "4",
+        "--Unet_dim", "16", "--save_and_sample_every", "2", "--log_every", "1",
+        "--results_folder", str(tmp_path / "r"),
+        "--dataset_path", str(tmp_path / "d"),
+        "--gradient_accumulate_every", "2",
+    ])
+    assert int(state["step"]) == 2
+
+
+@pytest.mark.parametrize("method", ["GNS_direct", "GNS_cond_one", "Unet_rollout_one"])
+def test_train_1d_new_method_types(tmp_path, method):
+    from cindm_tpu.cli.train_1d import main
+
+    state = main([
+        "--method_type", method, "--n_sims", "4", "--train_num_steps", "2",
+        "--batch_size", "4", "--Unet_dim", "16", "--rollout_steps", "8",
+        "--save_and_sample_every", "2", "--log_every", "1",
+        "--results_folder", str(tmp_path / "r"),
+        "--dataset_path", str(tmp_path / "d"),
+        "--gradient_accumulate_every", "1",
+    ])
+    assert int(state["step"]) == 2
+
+
+def test_design_1d_baseline_gns_loads_trained_ckpt(tmp_path):
+    """The GNS design baseline must run on TRAINED weights (VERDICT #5):
+    train GNS_direct briefly, then design with --model_path pointing at it."""
+    from cindm_tpu.cli.design_1d_baseline import main as design_main
+    from cindm_tpu.cli.train_1d import main as train_main
+
+    train_main([
+        "--method_type", "GNS_direct", "--n_sims", "4", "--train_num_steps", "2",
+        "--batch_size", "4", "--rollout_steps", "8",
+        "--save_and_sample_every", "2", "--log_every", "1",
+        "--results_folder", str(tmp_path / "r"),
+        "--dataset_path", str(tmp_path / "d"),
+        "--gradient_accumulate_every", "1",
+    ])
+    record = design_main([
+        "--design_method", "backprop", "--method_type", "GNS_direct",
+        "--model_path", str(tmp_path / "r"),
+        "--max_design_steps", "2", "--batch_size", "2", "--rollout_steps", "7",
+    ])
+    assert np.isfinite(record["design_obj_simu"])
+
+
 def test_design_1d_baseline_backprop_smoke():
     from cindm_tpu.cli.design_1d_baseline import main
 

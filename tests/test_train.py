@@ -69,6 +69,56 @@ def test_ema_updates_every_k_steps():
     )
 
 
+def test_grad_accum_counts_optimizer_steps():
+    """With gradient_accumulate_every=k, state['step'] counts applied
+    optimizer updates (reference Trainer1D semantics: one step per
+    opt.step() after its accumulation inner loop), not micro-batches."""
+    model, params, dcfg, sched = _setup()
+    tcfg = TrainConfig(gradient_accumulate_every=2)
+    state = init_train_state(params, make_optimizer(tcfg))
+    step = make_train_step(model.apply, dcfg, sched, tcfg)
+    batch = {"x": jnp.ones((4, 8, 8)) * 0.1}
+    p_init = jax.tree.leaves(params)[0].copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    assert int(state["step"]) == 0  # first micro-batch: no update applied
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state["params"])[0]), np.asarray(p_init)
+    )
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state["step"]) == 1  # second micro-batch: update applied
+    assert not np.array_equal(
+        np.asarray(jax.tree.leaves(state["params"])[0]), np.asarray(p_init)
+    )
+    for i in range(4):
+        state, _ = step(state, batch, jax.random.PRNGKey(2 + i))
+    assert int(state["step"]) == 3
+
+
+def test_ema_warmup_copies_then_ramps():
+    """ema_pytorch semantics: during the first update_after_step optimizer
+    steps the EMA copies the online params; afterwards decay ramps up."""
+    model, params, dcfg, sched = _setup()
+    tcfg = TrainConfig(ema_update_every=1, ema_update_after_step=3)
+    state = init_train_state(params, make_optimizer(tcfg))
+    step = make_train_step(model.apply, dcfg, sched, tcfg)
+    batch = {"x": jnp.ones((4, 8, 8)) * 0.1}
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    # warmup: ema == online exactly
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state["ema_params"])[0]),
+        np.asarray(jax.tree.leaves(state["params"])[0]),
+    )
+    # decay is still 0 at step update_after_step+1 (ramp k=0); step twice
+    state, _ = step(state, batch, jax.random.PRNGKey(10))
+    state, _ = step(state, batch, jax.random.PRNGKey(11))
+    # past warmup: ema lags the online params (nonzero decay)
+    assert not np.array_equal(
+        np.asarray(jax.tree.leaves(state["ema_params"])[0]),
+        np.asarray(jax.tree.leaves(state["params"])[0]),
+    )
+
+
 def test_train_step_on_8_device_mesh():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     model, params, dcfg, sched = _setup()
