@@ -218,7 +218,7 @@ class Unet2D(nn.Module):
 
         t = SinusoidalPosEmb(self.dim)(time)
         t = Dense(self.dim * 4)(t)
-        t = nn.gelu(t)
+        t = nn.gelu(t, approximate=False)  # torch nn.GELU default is exact
         t = Dense(self.dim * 4)(t)
 
         hs = []

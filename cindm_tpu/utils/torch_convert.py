@@ -198,6 +198,184 @@ def convert_temporal_unet1d(
     return {"params": p}
 
 
+def _conv2d(w):  # [O, I, kh, kw] -> [kh, kw, I, O]
+    return jnp.asarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _resnet2d(sd: Mapping, prefix: str) -> dict:
+    """ResnetBlock 2D (`model/diffusion_2d.py:200-224`): FiLM time Dense +
+    two (WSConv, GroupNorm) blocks + optional 1×1 residual conv."""
+    out = {}
+    if f"{prefix}.mlp.1.weight" in sd:
+        out["Dense_0"] = {
+            "Dense_0": {
+                "kernel": _linear(sd[f"{prefix}.mlp.1.weight"]),
+                "bias": _arr(sd[f"{prefix}.mlp.1.bias"]),
+            }
+        }
+    for bi, blk in ((0, "block1"), (1, "block2")):
+        out[f"Block2D_{bi}"] = {
+            "WSConv2d_0": {
+                "kernel": _conv2d(sd[f"{prefix}.{blk}.proj.weight"]),
+                "bias": _arr(sd[f"{prefix}.{blk}.proj.bias"]),
+            },
+            "GroupNorm_0": {
+                "scale": _arr(sd[f"{prefix}.{blk}.norm.weight"]),
+                "bias": _arr(sd[f"{prefix}.{blk}.norm.bias"]),
+            },
+        }
+    if f"{prefix}.res_conv.weight" in sd:
+        out["Conv2d_0"] = {
+            "Conv_0": {
+                "kernel": _conv2d(sd[f"{prefix}.res_conv.weight"]),
+                "bias": _arr(sd[f"{prefix}.res_conv.bias"]),
+            }
+        }
+    return out
+
+
+def _conv2d_wrap(sd: Mapping, prefix: str) -> dict:
+    return {
+        "Conv_0": {
+            "kernel": _conv2d(sd[f"{prefix}.weight"]),
+            "bias": _arr(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
+def _attn2d(sd: Mapping, prefix: str, full: bool) -> tuple[dict, dict]:
+    """Residual(PreNorm(LinearAttention|Attention)) 2D
+    (`model/diffusion_2d.py:226-278`). Returns (prenorm, attention) params;
+    like the 1D case the attention module is scoped to the parent."""
+    prenorm = {
+        "ChannelLayerNorm_0": {"g": _arr(np.asarray(sd[f"{prefix}.fn.norm.g"])[0, :, 0, 0])}
+    }
+    qkv = np.asarray(sd[f"{prefix}.fn.fn.to_qkv.weight"])[:, :, 0, 0].T
+    if full:  # Attention: to_out is a bare Conv2d
+        out_w = np.asarray(sd[f"{prefix}.fn.fn.to_out.weight"])[:, :, 0, 0].T
+        attn = {
+            "FullAttention_0": {
+                "Dense_0": {"Dense_0": {"kernel": jnp.asarray(qkv)}},
+                "Dense_1": {
+                    "Dense_0": {
+                        "kernel": jnp.asarray(out_w),
+                        "bias": _arr(sd[f"{prefix}.fn.fn.to_out.bias"]),
+                    }
+                },
+            }
+        }
+    else:  # LinearAttention: to_out = Sequential(Conv2d 1×1, LayerNorm)
+        out_w = np.asarray(sd[f"{prefix}.fn.fn.to_out.0.weight"])[:, :, 0, 0].T
+        attn = {
+            "Dense_0": {"Dense_0": {"kernel": jnp.asarray(qkv)}},
+            "Dense_1": {
+                "Dense_0": {
+                    "kernel": jnp.asarray(out_w),
+                    "bias": _arr(sd[f"{prefix}.fn.fn.to_out.0.bias"]),
+                }
+            },
+            "ChannelLayerNorm_0": {
+                "g": _arr(np.asarray(sd[f"{prefix}.fn.fn.to_out.1.g"])[0, :, 0, 0])
+            },
+        }
+    return prenorm, attn
+
+
+def convert_unet2d(state_dict: Mapping, dim_mults: tuple = (1, 2)) -> dict:
+    """Map a reference 2D `Unet` state_dict (`model/diffusion_2d.py:281-408`)
+    to our Flax `models.Unet2D` params tree."""
+    sd = state_dict
+    num_res = len(dim_mults)
+    p: dict = {"Conv2d_0": _conv2d_wrap(sd, "init_conv")}
+    p["Dense_0"] = {
+        "Dense_0": {
+            "kernel": _linear(sd["time_mlp.1.weight"]),
+            "bias": _arr(sd["time_mlp.1.bias"]),
+        }
+    }
+    p["Dense_1"] = {
+        "Dense_0": {
+            "kernel": _linear(sd["time_mlp.3.weight"]),
+            "bias": _arr(sd["time_mlp.3.bias"]),
+        }
+    }
+    rtb = attn = down = up = 0
+    conv = 1  # Conv2d_0 is the init conv
+    for i in range(num_res):
+        p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, f"downs.{i}.0"); rtb += 1
+        p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, f"downs.{i}.1"); rtb += 1
+        pn, at = _attn2d(sd, f"downs.{i}.2", full=False)
+        p[f"PreNormResidual2D_{attn}"] = pn
+        p[f"LinearAttention2D_{attn}"] = at
+        attn += 1
+        if i < num_res - 1:  # Downsample = Sequential(Rearrange, Conv 1×1)
+            p[f"Downsample2D_{down}"] = {"Conv2d_0": _conv2d_wrap(sd, f"downs.{i}.3.1")}
+            down += 1
+        else:  # last: plain 3×3 conv
+            p[f"Conv2d_{conv}"] = _conv2d_wrap(sd, f"downs.{i}.3")
+            conv += 1
+
+    p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, "mid_block1"); rtb += 1
+    pn, at = _attn2d(sd, "mid_attn", full=True)
+    p[f"PreNormResidual2D_{attn}"] = pn
+    p["Attention2D_0"] = at
+    attn += 1
+    p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, "mid_block2"); rtb += 1
+
+    for i in range(num_res):
+        p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, f"ups.{i}.0"); rtb += 1
+        p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, f"ups.{i}.1"); rtb += 1
+        pn, at = _attn2d(sd, f"ups.{i}.2", full=False)
+        p[f"PreNormResidual2D_{attn}"] = pn
+        p[f"LinearAttention2D_{attn - 1}"] = at  # Attention2D_0 took no LA slot
+        attn += 1
+        if i < num_res - 1:  # Upsample = Sequential(nearest, Conv 3×3)
+            p[f"Upsample2D_{up}"] = {"Conv2d_0": _conv2d_wrap(sd, f"ups.{i}.3.1")}
+            up += 1
+        else:
+            p[f"Conv2d_{conv}"] = _conv2d_wrap(sd, f"ups.{i}.3")
+            conv += 1
+
+    p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, "final_res_block")
+    p[f"Conv2d_{conv}"] = _conv2d_wrap(sd, "final_conv")
+    return {"params": p}
+
+
+def convert_forceunet(state_dict: Mapping, dim_mults: tuple = (1, 2, 4, 8)) -> dict:
+    """Map a reference `ForceUnet` state_dict (`model/diffusion_2d.py:411-486`)
+    to our Flax `models.ForceUnet` params tree (encoder + pool + Linear(2))."""
+    sd = state_dict
+    num_res = len(dim_mults)
+    p: dict = {"Conv2d_0": _conv2d_wrap(sd, "init_conv")}
+    rtb = attn = down = 0
+    conv = 1
+    for i in range(num_res):
+        p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, f"downs.{i}.0"); rtb += 1
+        p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, f"downs.{i}.1"); rtb += 1
+        pn, at = _attn2d(sd, f"downs.{i}.2", full=False)
+        p[f"PreNormResidual2D_{attn}"] = pn
+        p[f"LinearAttention2D_{attn}"] = at
+        attn += 1
+        if i < num_res - 1:
+            p[f"Downsample2D_{down}"] = {"Conv2d_0": _conv2d_wrap(sd, f"downs.{i}.3.1")}
+            down += 1
+        else:
+            p[f"Conv2d_{conv}"] = _conv2d_wrap(sd, f"downs.{i}.3")
+            conv += 1
+    p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, "mid_block1"); rtb += 1
+    pn, at = _attn2d(sd, "mid_attn", full=True)
+    p[f"PreNormResidual2D_{attn}"] = pn
+    p["Attention2D_0"] = at
+    p[f"ResnetBlock2D_{rtb}"] = _resnet2d(sd, "mid_block2"); rtb += 1
+    p["Dense_0"] = {
+        "Dense_0": {
+            "kernel": _linear(sd["final.weight"]),
+            "bias": _arr(sd["final.bias"]),
+        }
+    }
+    return {"params": p}
+
+
 def load_reference_checkpoint(path: str, **kwargs) -> dict:
     """Load a reference `model-{k}.pt` and convert its EMA (preferred) or
     raw model weights."""
