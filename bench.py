@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FWDS_PER_SEC = 25_000.0
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. XLA routes f32 matmuls
+# through the bf16 MXU path at default precision, so this is the roofline
+# for the measured step.
+V5E_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -76,6 +80,31 @@ def main():
     n_pairs = N_BODIES * (N_BODIES - 1) // 2
     fwds = N_STEPS_MEASURED * RECURRENCE * (N_COMPOSED + 1) * n_pairs * B
     fwds_per_sec = fwds / dt
+
+    # MFU: XLA's own FLOP count for the measured program vs the v5e roofline
+    try:
+        cost = run_jit.lower(img, key, jnp.int32(999)).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        total_flops = float(cost.get("flops", 0.0))
+        mfu = total_flops / dt / V5E_PEAK_FLOPS
+    except Exception:
+        total_flops, mfu = 0.0, 0.0
+
+    # north-star batch (BASELINE.md: batch 512): bare composed forward rate,
+    # to document batch scaling alongside the guided-sampler headline
+    B2 = 512
+    fwd_jit = jax.jit(lambda x, t: eps_model(x, t))
+    x512 = jax.random.normal(key, (B2, T_TOT, N_BODIES * 4))
+    t512 = jnp.full((B2,), 500, jnp.int32)
+    fwd_jit(x512, t512).block_until_ready()
+    reps = 10
+    t_start = time.perf_counter()
+    for _ in range(reps):
+        out = fwd_jit(x512, t512)
+    out.block_until_ready()
+    dt512 = (time.perf_counter() - t_start) / reps
+    fwds512_per_sec = B2 * (N_COMPOSED + 1) * n_pairs / dt512
+
     print(
         json.dumps(
             {
@@ -83,6 +112,9 @@ def main():
                 "value": round(fwds_per_sec, 1),
                 "unit": "pair-window denoiser forwards / s (batch 64, recurrence 10)",
                 "vs_baseline": round(fwds_per_sec / BASELINE_FWDS_PER_SEC, 3),
+                "mfu_vs_v5e_peak": round(mfu, 4),
+                "flops_per_pairwindow_fwd": round(total_flops / fwds) if total_flops else 0,
+                "batch512_bare_fwds_per_sec": round(fwds512_per_sec, 1),
             }
         )
     )

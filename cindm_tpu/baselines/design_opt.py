@@ -51,16 +51,19 @@ def cem_design(
     cond_shape: tuple,
     key: jax.Array,
     clamp_fn: Callable = clamp_nbody_cond,
+    init_mean: jax.Array | None = None,
 ):
     """Cross-entropy method (`CEM_1d`, `inverse_design_1d_baseline.py:208-351`).
 
     Per iteration: draw N candidates ~ N(mean, std), clamp, score a batched
-    rollout per candidate, refit (mean, std) to the Ne best.
+    rollout per candidate, refit (mean, std) to the Ne best. ``init_mean``
+    seeds the search from a dataset sample (the 2D reference clones dataset
+    states into the optimization variables, `inverse_design_GD_discrete_fno.py:310`).
 
     Returns (best_cond [*cond_shape], best_obj scalar).
     """
     k0, k1 = jax.random.split(key)
-    mean = clamp_fn(jax.random.normal(k0, cond_shape))
+    mean = clamp_fn(jax.random.normal(k0, cond_shape)) if init_mean is None else init_mean
     std = jnp.full(cond_shape, cfg.init_std)
 
     def iteration(carry, key):

@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_sims", type=int, default=8)
     p.add_argument("--n_composed", type=int, default=0,
                    help=">0 also compares time-composition strategies")
+    p.add_argument("--direct_model_path", default=None,
+                   help="checkpoint of a model trained directly at the long "
+                        "horizon cond+(n_composed+1)*rollout; adds the "
+                        "reference's 'direct' strategy "
+                        "(inference_1d_composing_time_steps.py:218-254)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -97,19 +102,85 @@ def main(argv=None):
     )
 
     if args.n_composed > 0 and args.conditioned_steps > 0:
-        cond = batch["cond"]
-        _, stitched = composing_time_sample(
-            sched, eps, batch["x"].shape[0], args.rollout_steps,
-            args.conditioned_steps, feat, cond, jax.random.PRNGKey(args.seed + 1),
+        # Strategy comparison on one shared long horizon, matching
+        # `inference_1d_composing_time_steps.py:150-415`: ground truth is a
+        # (n_composed+1)·rollout window continuing the conditioned frames;
+        # every strategy's stitched trajectory is scored with MAE/RMSE
+        # against it (the reference plots loss_item per sample; we report
+        # the batch means).
+        from ..physics.nbody import simulate
+
+        L = (args.n_composed + 1) * args.rollout_steps
+        ds_long = NBodyDataset(
+            NBodyDatasetConfig(
+                n_bodies=n_bodies,
+                input_steps=args.conditioned_steps,
+                output_steps=L,
+            ),
+            data=ds.data,
+        )
+        lb = {
+            k: jnp.asarray(v)
+            for k, v in ds_long.get_batch(np.arange(args.batch_size)).items()
+        }
+        cond, gt = lb["cond"], lb["x"]
+        B = gt.shape[0]
+
+        def score(pred):
+            err = jnp.abs(pred - gt[:, : pred.shape[1]])
+            return {
+                "mae": float(jnp.mean(err)),
+                "rmse": float(jnp.sqrt(jnp.mean(err**2))),
+            }
+
+        strategies = {}
+        img0, stitched = composing_time_sample(
+            sched, eps, B, args.rollout_steps, args.conditioned_steps,
+            feat, cond, jax.random.PRNGKey(args.seed + 1),
             n_composed=args.n_composed, sampling_timesteps=args.sample_steps,
         )
+        strategies["EBMs_compose"] = score(jnp.concatenate([img0, stitched], axis=1))
+
         auto = autoregress_time_compose_sample(
-            sched, eps, batch["x"].shape[0], args.rollout_steps,
-            args.conditioned_steps, feat, cond, jax.random.PRNGKey(args.seed + 2),
+            sched, eps, B, args.rollout_steps, args.conditioned_steps,
+            feat, cond, jax.random.PRNGKey(args.seed + 2),
             n_composed=args.n_composed, sampling_timesteps=args.sample_steps,
         )
-        record["composing_time_finite"] = bool(jnp.all(jnp.isfinite(stitched)))
-        record["autoregress_finite"] = bool(jnp.all(jnp.isfinite(auto)))
+        strategies["autoregress"] = score(auto)
+
+        # SimuSolver: the ground-truth integrator itself rolled from the last
+        # conditioned frame — the floor any learned strategy is chasing
+        # (`inference_1d_composing_time_steps.py:330-347`)
+        state = (cond[:, -1] * 200.0).reshape(B, n_bodies, 4)
+        traj = simulate(state, L * 4)[:, 3::4]
+        strategies["SimuSolver"] = score(traj.reshape(B, L, feat) / 200.0)
+
+        if args.direct_model_path:
+            model_d = TemporalUnet1D(
+                horizon=args.conditioned_steps + L,
+                transition_dim=feat, dim=args.Unet_dim, attention=True,
+            )
+            params_d = model_d.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.conditioned_steps + L, feat)),
+                jnp.zeros(1, jnp.int32),
+            )
+            mngr_d = CheckpointManager(args.direct_model_path)
+            template_d = init_train_state(params_d, make_optimizer(TrainConfig()))
+            params_d = mngr_d.load(template=template_d)["ema_params"]
+            from ..sampling.sampler import ddim_sample_loop
+
+            def cond_eps(x, t):
+                full = jnp.concatenate([cond, x], axis=1)
+                return model_d.apply(params_d, full, t)[:, args.conditioned_steps:]
+
+            direct = ddim_sample_loop(
+                sched, cond_eps, (B, L, feat), jax.random.PRNGKey(args.seed + 3),
+                sampling_timesteps=args.sample_steps,
+            )
+            strategies["direct"] = score(direct)
+
+        record["compose_strategies"] = strategies
 
     print(json.dumps(record))
     return record

@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--p_min", type=float, default=-1.0)
     p.add_argument("--p_max", type=float, default=1.0)
     p.add_argument("--evaluate", type=lambda s: s == "True", default=True)
+    p.add_argument("--n_warmup", type=int, default=300,
+                   help="BDIM warmup steps before force recording; the "
+                        "reference scores t=300..400 (`LilyPad.pde:143-180`)")
+    p.add_argument("--n_record", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--host_chunks", type=int, default=10)
     return p
@@ -108,7 +112,7 @@ def main(argv=None):
             np.stack([np.pad(p, ((0, M - len(p)), (0, 0)), mode="edge") for p in polys])
             for polys in results
         ])
-        scores = evaluate_designs(batchpolys, n_warmup=60, n_record=40)
+        scores = evaluate_designs(batchpolys, n_warmup=args.n_warmup, n_record=args.n_record)
         record.update({k: v for k, v in scores.items() if k != "forces"})
     print(json.dumps(record))
     return record

@@ -2,11 +2,18 @@
 
 Mirrors the reference 2D baseline scripts
 (`inference/baseline/inverse_design_{GD,CEM}_discrete_{fno,lepde}[_twobds].py`,
-SURVEY.md §2.3 E6): optimize boundary (mask, offset) — and implicitly the
-flow — by rolling the surrogate forward and scoring per-frame lift/drag with
-ForceUnet; objective λ·|ΣFx| − ΣFy (`inverse_design_GD_discrete_fno.py:305-420`).
-GD = Adam(1e-4) for optim_iter steps as a lax.scan; CEM = population search
-over the boundary parameters.
+SURVEY.md §2.3 E6), apples-to-apples with the CinDM path:
+
+- the optimization starts from DATASET samples (state frames + boundary
+  mask/offset), like the reference's ``testdata.node_feature`` clone
+  (`inverse_design_GD_discrete_fno.py:305-322`), not from noise;
+- out-of-distribution hinge losses keep the state and boundary inside the
+  data manifold (``is_bdloss`` branch, `:396-401`): relu(‖u − ū‖ − ½·range);
+- objective λ·|ΣFx| − ΣFy averaged over the scoring window (`:404-420`);
+- the optimized mask/offset is reconstructed to a polygon and scored
+  CLOSED-LOOP with the on-device BDIM solver (replacing the reference's
+  boundary-txt → LilyPad → force-txt pipeline, E5), so GD/CEM baselines and
+  CinDM designs share one metric.
 """
 
 from __future__ import annotations
@@ -25,16 +32,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--surrogate", default="fno", choices=["fno", "lepde"])
     p.add_argument("--surrogate_path", default=None)
     p.add_argument("--force_model_path", default=None)
+    p.add_argument("--data_dir", default=None,
+                   help="cache dir of generate_airfoil_sims for init states "
+                        "and OOD statistics (generated if absent)")
+    p.add_argument("--n_sims", type=int, default=4)
     p.add_argument("--num_boundaries", type=int, default=1)
     p.add_argument("--optim_iter", type=int, default=100)
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="Adam lr (`inverse_design_GD_discrete_fno.py:322`)")
     p.add_argument("--rollout", type=int, default=4)
     p.add_argument("--lambda_force", type=float, default=1.0)
+    p.add_argument("--is_bdloss", type=lambda s: s == "True", default=True,
+                   help="add the OOD hinge losses (`:396-401`)")
     p.add_argument("--N", type=int, default=128, help="CEM population")
     p.add_argument("--Ne", type=int, default=16, help="CEM elites")
     p.add_argument("--batch_size", type=int, default=2)
-    p.add_argument("--p_min", type=float, default=-1.0)
-    p.add_argument("--p_max", type=float, default=1.0)
+    p.add_argument("--evaluate", type=lambda s: s == "True", default=True)
+    p.add_argument("--n_warmup", type=int, default=300)
+    p.add_argument("--n_record", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -43,14 +58,44 @@ def main(argv=None):
     import optax
 
     from ..baselines import FNO2d, LEPDE, LEPDEConfig
+    from ..data.airfoil import AirfoilDataset, AirfoilDatasetConfig, generate_airfoil_sims
     from ..models.unet2d import ForceUnet
-    from ..sampling.guidance2d import unnormalize_state
+    from ..sampling.guidance2d import mask_denoise, unnormalize_state
     from ..train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
+    from ..utils import evaluate_designs, polygons_overlap, reconstruct_boundary
     from ..utils.cache import enable_compile_cache
 
     enable_compile_cache()
     args = build_parser().parse_args(argv)
     key = jax.random.PRNGKey(args.seed)
+    B = args.batch_size
+
+    # dataset: init states + OOD statistics (the reference clones dataset
+    # samples into the optimization variables, `:310-320`)
+    acfg = AirfoilDatasetConfig(input_steps=1, output_steps=1, time_interval=1)
+    data = generate_airfoil_sims(args.seed + 7, args.n_sims, acfg, cache_dir=args.data_dir)
+    ds = AirfoilDataset(data, acfg)
+    rng = np.random.default_rng(args.seed)
+    idx = rng.integers(0, len(ds), B)
+    batch = ds.get_batch(idx)
+    windows = [ds.get_window(int(j)) for j in idx]
+    u0 = jnp.asarray(batch["cond"])[..., :3]  # [B, 64, 64, 3] normalized state
+    pad = ((0, 2), (0, 2), (0, 0))
+    mask0 = np.stack([np.pad(w["mask"][..., None], pad) for w in windows])
+    off0 = np.stack([np.pad(w["offset"], pad) for w in windows])
+    design0 = {"mask": jnp.asarray(mask0, jnp.float32),
+               "offset": jnp.asarray(off0, jnp.float32)}
+
+    # OOD hinge statistics: ½·range ball around the dataset mean
+    # (mean_state/range_state, mean_bd/range_bd in the reference `:120-180`)
+    all_states = ds._norm(data["fields"].reshape(-1, 62, 62, 3))
+    mean_state = jnp.asarray(all_states.mean(0))  # [62, 62, 3]
+    range_state = float(np.max(np.linalg.norm(
+        (all_states - np.asarray(mean_state)).reshape(all_states.shape[0], -1), axis=1
+    )))
+    all_bd = np.concatenate([data["mask"][..., None], data["offset"]], -1)
+    mean_bd = jnp.asarray(all_bd.mean(0))  # [62, 62, 3]
+    range_bd = float(np.max(np.linalg.norm((all_bd - np.asarray(mean_bd)).reshape(all_bd.shape[0], -1), axis=1)))
 
     # surrogate: u_{t+1} = f(u_t, static) on 64² grids (3 state + 3 static ch)
     if args.surrogate == "fno":
@@ -73,30 +118,33 @@ def main(argv=None):
             template=init_train_state(fparams, make_optimizer(TrainConfig()))
         )["ema_params"]
 
-    B = args.batch_size
-
-    def objective(design, u0):
+    def objective(design, u):
         """design: {'mask': [B,64,64,1], 'offset': [B,64,64,2]}; roll the
-        surrogate, score λ|ΣFx| − ΣFy over frames (reference objective)."""
+        surrogate, score λ|ΣFx| − ΣFy over frames + OOD hinges."""
         static = jnp.concatenate(
             [jnp.clip(design["mask"], 0, 1), jnp.clip(design["offset"], -0.5, 0.5)], -1
         )
-        u = u0
         fx = fy = 0.0
+        bd_loss = 0.0
         for _ in range(args.rollout):
             u = step_fn(sparams, u, static)
-            press = unnormalize_state(u[..., 2:3], args.p_min, args.p_max)
+            press = unnormalize_state(u[..., 2:3], ds.p_min, ds.p_max)
             ld = fmodel.apply(fparams, jnp.concatenate([press, static], -1))
             fx = fx + jnp.sum(ld[:, 0])
             fy = fy + jnp.sum(ld[:, 1])
-        return args.lambda_force * jnp.abs(fx) - fy
-
-    k1, k2, k3 = jax.random.split(key, 3)
-    u0 = jax.random.normal(k1, (B, 64, 64, 3)) * 0.1
-    design0 = {
-        "mask": jax.nn.sigmoid(jax.random.normal(k2, (B, 64, 64, 1))),
-        "offset": jax.random.normal(k3, (B, 64, 64, 2)) * 0.1,
-    }
+            if args.is_bdloss:
+                d = jnp.linalg.norm(
+                    (u[:, :62, :62] - mean_state).reshape(u.shape[0], -1), axis=1
+                )
+                bd_loss = bd_loss + jnp.sum(jax.nn.relu(d - 0.5 * range_state))
+        if args.is_bdloss:
+            db = jnp.linalg.norm(
+                (static[:, :62, :62] - mean_bd).reshape(static.shape[0], -1), axis=1
+            )
+            bd_loss = bd_loss + jnp.sum(jax.nn.relu(db - 0.5 * range_bd))
+        fx = fx / args.rollout
+        fy = fy / args.rollout
+        return args.lambda_force * jnp.abs(fx) - fy + bd_loss
 
     if args.design_method == "GD":
         tx = optax.adam(args.lr)
@@ -134,11 +182,33 @@ def main(argv=None):
             design_fn=lambda f: objective(unflatten(f), u0),
             cond_shape=flat0.shape,
             key=key,
+            init_mean=flat0,
             clamp_fn=lambda f: f,
         )
+        design = unflatten(best)
         record = {"design_method": "CEM", "surrogate": args.surrogate,
                   "obj_last": float(obj)}
 
+    # closed-loop scoring: mask → polygon → BDIM lift/drag (same metric as
+    # the CinDM path in design_2d.py), replacing reference E5
+    mask_np = np.asarray(design["mask"])[:, :62, :62, 0]
+    off_np = np.asarray(design["offset"])[:, :62, :62, :]
+    polys, valid = [], 0
+    for b in range(B):
+        m = np.asarray(mask_denoise(jnp.asarray(mask_np[b])))
+        ps = reconstruct_boundary(m, off_np[b])
+        if len(ps) == 1:
+            polys.append(ps[0])
+            valid += 1
+    record["valid_designs"] = valid
+    record["batch_size"] = B
+    if args.evaluate and polys:
+        M = max(len(p) for p in polys)
+        batchpolys = np.stack(
+            [np.pad(p, ((0, M - len(p)), (0, 0)), mode="edge") for p in polys]
+        )[:, None]  # [B, K=1, M, 2]
+        scores = evaluate_designs(batchpolys, n_warmup=args.n_warmup, n_record=args.n_record)
+        record.update({k: float(v) for k, v in scores.items() if k != "forces"})
     print(json.dumps(record))
     return record
 

@@ -248,6 +248,80 @@ def advect_double(
     return _quadratic(a, xs, ys)
 
 
+# ---------------------------------------------------------------------------
+# QUICK flux advection + explicit diffusion (the reference's other branch:
+# `BDIM.pde:12-13` F(u) = u + ∫ grad(u·u) + ν∇²u dt when QUICK=true,
+# `VectorField.pde:170-226`). The semi-Lagrangian branch above is what the
+# cindm data generator runs (`LilyPad.pde:131` uses the nu=0 constructor);
+# this branch adds explicit viscosity so the solver can be anchored against
+# published finite-Re cylinder results (LilyPad's own validation regime,
+# e.g. the Re=1000 circle demo in `BDIM.pde:20-31`).
+
+_QUICK_CF = 1.0 / 6.0  # `VectorField.pde:25`
+_QUICK_S = 10.0
+
+
+def _shift(a: jax.Array, di: int, dj: int) -> jax.Array:
+    """a[i+di, j+dj] via roll (wrapped entries are masked by callers)."""
+    return jnp.roll(a, (-di, -dj), (0, 1))
+
+
+def _quick_face(b: jax.Array, d1: int, d2: int, uf: jax.Array) -> jax.Array:
+    """Upwind-biased QUICK face value with median limiter (`bho`,
+    `VectorField.pde:203-226`): central where too close to the wall,
+    otherwise bf − CF·(D − 2C + U) limited by med(bf, C, med(C, D, U+S(C−U)))
+    with (C, D, U) oriented by the face-velocity sign."""
+    N, M = b.shape
+    b_d = _shift(b, d1, d2)
+    bf = 0.5 * (b + b_d)
+    flip = (d1 + d2) * uf < 0  # exactly one of d1, d2 is nonzero
+    C = jnp.where(flip, b_d, b)
+    D = jnp.where(flip, b, b_d)
+    U = jnp.where(flip, _shift(b, 2 * d1, 2 * d2), _shift(b, -d1, -d2))
+    ii, jj = jnp.meshgrid(jnp.arange(N), jnp.arange(M), indexing="ij")
+    bi = jnp.where(flip, ii + d1, ii)
+    bj = jnp.where(flip, jj + d2, jj)
+    ok = (bi >= 2) & (bi <= N - 2) & (bj >= 2) & (bj <= M - 2)
+    bq = bf - _QUICK_CF * (D - 2.0 * C + U)
+    b1 = U + _QUICK_S * (C - U)
+    med = lambda x, y, z: jnp.maximum(jnp.minimum(x, y), jnp.minimum(jnp.maximum(x, y), z))
+    return jnp.where(ok, med(bq, C, med(C, D, b1)), bf)
+
+
+def _advect_flux(b: jax.Array, ux: jax.Array, uy: jax.Array, btype: int) -> jax.Array:
+    """Flux-form advection −div(u b) on the staggered grid
+    (`VectorField.pde:181-197`)."""
+    if btype == 1:
+        uo = 0.5 * (_shift(ux, -1, 0) + ux)
+        ue = 0.5 * (_shift(ux, 1, 0) + ux)
+        vs = 0.5 * (uy + _shift(uy, -1, 0))
+        vn = 0.5 * (_shift(uy, 0, 1) + _shift(uy, -1, 1))
+    else:
+        uo = 0.5 * (_shift(ux, 0, -1) + ux)
+        ue = 0.5 * (_shift(ux, 1, -1) + _shift(ux, 1, 0))
+        vs = 0.5 * (_shift(uy, 0, -1) + uy)
+        vn = 0.5 * (uy + _shift(uy, 0, 1))
+    return (
+        uo * _quick_face(b, -1, 0, uo)
+        - ue * _quick_face(b, 1, 0, ue)
+        + vs * _quick_face(b, 0, -1, vs)
+        - vn * _quick_face(b, 0, 1, vn)
+    )
+
+
+def adv_dif(b: jax.Array, ux: jax.Array, uy: jax.Array, nu: float, btype: int) -> jax.Array:
+    """advection(b; u) + ν·∇²b on interior cells (`VectorField.pde:170-201`)."""
+    adv = _advect_flux(b, ux, uy, btype)
+    lap = _shift(b, 1, 0) + _shift(b, -1, 0) + _shift(b, 0, 1) + _shift(b, 0, -1) - 4.0 * b
+    out = adv + nu * lap
+    return jnp.zeros_like(b).at[1:-1, 1:-1].set(out[1:-1, 1:-1])
+
+
+def cfl_dt(ux: jax.Array, uy: jax.Array, nu: float) -> jax.Array:
+    """LilyPad's CFL limit dt = 1/(max(|u|+|v|) + 3ν) (`VectorField.pde:227-238`)."""
+    return 1.0 / (jnp.max(jnp.abs(ux) + jnp.abs(uy)) + 3.0 * nu)
+
+
 def divergence(ux: jax.Array, uy: jax.Array) -> jax.Array:
     """`VectorField.divergence` (`VectorField.pde:56-65`), interior only."""
     d = jnp.zeros_like(ux)
@@ -362,6 +436,8 @@ class BDIMConfig:
     u_inf: float = 1.0
     eps: float = 2.0  # kernel half-width, `BDIM.pde:36`
     cg_iters: int = 60
+    nu: float = 0.0  # kinematic viscosity; only used by the QUICK branch
+    quick: bool = False  # QUICK flux advection + explicit ν (`BDIM.pde` QUICK)
 
     @property
     def N(self) -> int:
@@ -440,8 +516,33 @@ def _update_up(
     return u, v, p
 
 
+def bdim_step_quick(cfg: BDIMConfig, consts: BDIMConsts, state: BDIMState) -> BDIMState:
+    """One predictor+corrector step of the QUICK branch (`BDIM.pde:82-106`
+    if(QUICK) paths): F = u0 + dt·(adv(u) + ν∇²u), Heun-averaged corrector."""
+    dt, nu = cfg.dt, cfg.nu
+    cx = consts.del_x * dt
+    cy = consts.del_y * dt
+    u0x, u0y = state.u, state.v
+
+    # predictor: AdvDif evaluated at u0 (u == u0 on entry)
+    Fx = u0x + dt * adv_dif(u0x, u0x, u0y, nu, 1)
+    Fy = u0y + dt * adv_dif(u0y, u0x, u0y, nu, 2)
+    u1, v1, p = _update_up(cfg, consts, Fx, Fy, cx, cy, Fx, Fy, state.p)
+
+    # corrector: AdvDif at the predicted field, then u ← (u* + u**)/2
+    Fx2 = u0x + dt * adv_dif(u1, u1, v1, nu, 1)
+    Fy2 = u0y + dt * adv_dif(v1, u1, v1, nu, 2)
+    u2, v2, p = _update_up(cfg, consts, Fx2, Fy2, cx, cy, Fx2, Fy2, p)
+    u = set_bc_u(0.5 * (u1 + u2), cfg.u_inf)
+    v = set_bc_v(0.5 * (v1 + v2))
+    return BDIMState(u, v, p)
+
+
 def bdim_step(cfg: BDIMConfig, consts: BDIMConsts, state: BDIMState) -> BDIMState:
-    """One full predictor+corrector step (`BDIM.pde:82-118`, SL branch)."""
+    """One full predictor+corrector step (`BDIM.pde:82-118`, SL branch), or
+    the QUICK+viscous branch when cfg.quick."""
+    if cfg.quick:
+        return bdim_step_quick(cfg, consts, state)
     dt = cfg.dt
     cx = consts.del_x * dt
     cy = consts.del_y * dt

@@ -47,8 +47,18 @@ def composing_time_sample(
 ) -> tuple[jax.Array, jax.Array]:
     """Parallel chained-window DDIM (`model/diffusion_1d.py:1806-1854`).
 
+    Window i+1 is conditioned on the last ``conditioned_steps`` frames of
+    window i, so its entire ``rollout_steps``-frame output lies strictly
+    after window i ends — each continuation window contributes its full
+    rollout to the stitched trajectory ((n_composed+1)·rollout total,
+    matching the ground-truth window length the reference analysis loads,
+    `inference_1d_composing_time_steps.py:157`). The reference instead
+    hardcodes the last 20 frames per window (`diffusion_1d.py:1850-1853`),
+    which misaligns the stitch for any rollout ≠ 20; we keep the
+    geometrically correct semantics.
+
     Returns (window-0 samples [B, rollout, F],
-             stitched continuation [B, n_composed*(rollout-cond), F]).
+             stitched continuation [B, n_composed*rollout, F]).
     """
     K = n_composed + 1
     times, times_next = dd.ddim_times(sched.num_timesteps, sampling_timesteps)
@@ -88,8 +98,7 @@ def composing_time_sample(
 
     (img, _, _), _ = jax.lax.scan(step, (img, cond_all, key), (times, times_next))
     img0 = img[:batch]
-    tail_len = rollout_steps - conditioned_steps
-    pieces = [img[(i + 1) * batch : (i + 2) * batch, -tail_len:] for i in range(n_composed)]
+    pieces = [img[(i + 1) * batch : (i + 2) * batch] for i in range(n_composed)]
     stitched = jnp.concatenate(pieces, axis=1) if pieces else img0[:, :0]
     return img0, stitched
 
@@ -110,7 +119,9 @@ def autoregress_time_compose_sample(
 ) -> jax.Array:
     """Sequential window chaining (`model/diffusion_1d.py:2239-2327`): run a
     full DDIM per window, feeding each window's tail as the next condition.
-    Returns the stitched trajectory [B, rollout + n_composed*(rollout-cond), F]."""
+    Each window's full rollout lies after the previous window (see
+    ``composing_time_sample`` docstring), so the stitched trajectory is
+    [B, (n_composed+1)*rollout, F]."""
     from .sampler import ddim_sample_loop
 
     outs = []
@@ -128,7 +139,7 @@ def autoregress_time_compose_sample(
             sched, cond_eps, (batch, rollout_steps, feature_size), k,
             sampling_timesteps=sampling_timesteps, objective=objective,
         )
-        outs.append(img if i == 0 else img[:, conditioned_steps:])
+        outs.append(img)
         cur_cond = img[:, -conditioned_steps:]
     return jnp.concatenate(outs, axis=1)
 

@@ -33,7 +33,7 @@ def test_composing_time_sample_shapes_and_mean():
         n_composed=2, sampling_timesteps=20,
     )
     assert img0.shape == (4, 20, 8)
-    assert stitched.shape == (4, 32, 8)  # 2 × (20-4)
+    assert stitched.shape == (4, 40, 8)  # 2 full continuation windows
     assert abs(float(jnp.mean(img0)) - MU) < 0.2
 
 
@@ -44,7 +44,7 @@ def test_autoregress_time_compose_shapes():
         feature_size=8, cond=cond, key=jax.random.PRNGKey(1),
         n_composed=1, sampling_timesteps=10,
     )
-    assert out.shape == (2, 12 + 8, 8)
+    assert out.shape == (2, 24, 8)  # 2 full 12-frame windows
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
