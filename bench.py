@@ -22,6 +22,13 @@ BASELINE_FWDS_PER_SEC = 25_000.0
 # through the bf16 MXU path at default precision, so this is the roofline
 # for the measured step.
 V5E_PEAK_FLOPS = 197e12
+# XLA's per-forward FLOP count for the flagship pair-window denoiser
+# (dim 64, horizon 24, 8-feature pairs), measured via
+# jit(composed_eps).lower(...).compile().cost_analysis() on the CPU backend
+# (the TPU backend's cost_analysis under-reports scan bodies); the composed
+# call reports 8.164e10 FLOPs for 8x3x28 pair-window forwards = 1.215e8
+# each, matching the standalone single-forward count (1.235e8).
+FLOPS_PER_PAIRWINDOW_FWD = 1.215e8
 
 
 def main():
@@ -81,14 +88,7 @@ def main():
     fwds = N_STEPS_MEASURED * RECURRENCE * (N_COMPOSED + 1) * n_pairs * B
     fwds_per_sec = fwds / dt
 
-    # MFU: XLA's own FLOP count for the measured program vs the v5e roofline
-    try:
-        cost = run_jit.lower(img, key, jnp.int32(999)).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        total_flops = float(cost.get("flops", 0.0))
-        mfu = total_flops / dt / V5E_PEAK_FLOPS
-    except Exception:
-        total_flops, mfu = 0.0, 0.0
+    # MFU: measured FLOP count (see FLOPS_PER_PAIRWINDOW_FWD) vs v5e roofline
 
     # north-star batch (BASELINE.md: batch 512): bare composed forward rate,
     # to document batch scaling alongside the guided-sampler headline
@@ -112,9 +112,14 @@ def main():
                 "value": round(fwds_per_sec, 1),
                 "unit": "pair-window denoiser forwards / s (batch 64, recurrence 10)",
                 "vs_baseline": round(fwds_per_sec / BASELINE_FWDS_PER_SEC, 3),
-                "mfu_vs_v5e_peak": round(mfu, 4),
-                "flops_per_pairwindow_fwd": round(total_flops / fwds) if total_flops else 0,
+                "mfu_vs_v5e_peak": round(
+                    fwds_per_sec * FLOPS_PER_PAIRWINDOW_FWD / V5E_PEAK_FLOPS, 4
+                ),
+                "flops_per_pairwindow_fwd": FLOPS_PER_PAIRWINDOW_FWD,
                 "batch512_bare_fwds_per_sec": round(fwds512_per_sec, 1),
+                "batch512_mfu_vs_v5e_peak": round(
+                    fwds512_per_sec * FLOPS_PER_PAIRWINDOW_FWD / V5E_PEAK_FLOPS, 4
+                ),
             }
         )
     )

@@ -16,6 +16,9 @@ Run: JAX_PLATFORMS=cpu python benchmarks/bench_bdim_cylinder.py
 
 from __future__ import annotations
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 
 import jax

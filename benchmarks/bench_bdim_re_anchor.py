@@ -12,6 +12,9 @@ Run on TPU (fast) or CPU: PYTHONPATH=. python benchmarks/bench_bdim_re_anchor.py
 
 from __future__ import annotations
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 
 import jax.numpy as jnp

@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_sims", type=int, default=4)
     p.add_argument("--results_folder", default="./results/airfoil")
     p.add_argument("--data_cache", default=None)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--resume", type=lambda s: s == "True", default=False)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -75,14 +77,27 @@ def main(argv=None):
     state = init_train_state(params, make_optimizer(tcfg))
     step = make_train_step_2d(model.apply, cfg, sched, tcfg)
     mngr = CheckpointManager(args.results_folder)
+    start = 0
+    if args.resume and mngr.latest_milestone() is not None:
+        state = mngr.load(template=state)
+        start = int(state["step"])
+        print(f"resumed from step {start}")
     it = ds.iterate_batches(min(args.batch_size, len(ds)), seed=args.seed)
-    for i in range(args.train_num_steps):
+    import numpy as np
+
+    for i in range(start, args.train_num_steps):
         b = next(it)
         batch = {"x": jnp.asarray(b["x"]), "cond": jnp.asarray(b["cond"])}
         state, loss = step(state, batch, jax.random.fold_in(key, i))
-        if (i + 1) % args.save_and_sample_every == 0:
-            mngr.save(i + 1, state)
-        print(f"step {i+1}: loss {float(loss):.6f}")
+        step_no = i + 1
+        milestone = step_no % args.save_and_sample_every == 0
+        if milestone or step_no % args.log_every == 0 or step_no == args.train_num_steps:
+            loss_f = float(loss)  # device sync only at log points
+            if not np.isfinite(loss_f):
+                raise FloatingPointError(f"non-finite loss at step {step_no}")
+            print(f"step {step_no}: loss {loss_f:.6f}", flush=True)
+            if milestone:
+                mngr.save(step_no, jax.device_get(state))
     return state
 
 

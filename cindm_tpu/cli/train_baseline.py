@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi_step", type=int, default=1)
     p.add_argument("--results_folder", default="./results/baseline")
     p.add_argument("--is_unittest", type=lambda s: s == "True", default=True)
+    p.add_argument("--data_cache", default=None,
+                   help="generate_airfoil_sims cache dir shared across CLIs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--is_testdata", type=lambda s: s == "True", default=True)
     return p
@@ -52,7 +54,9 @@ def main(argv=None):
         time_stamps=40 if args.is_testdata else 100,
         n_warmup=60 if args.is_testdata else 300,
     )
-    data = generate_airfoil_sims(args.seed, args.n_sims, acfg, BDIMConfig())
+    data = generate_airfoil_sims(
+        args.seed, args.n_sims, acfg, BDIMConfig(), cache_dir=args.data_cache
+    )
     ds = AirfoilDataset(data, acfg)
     key = jax.random.PRNGKey(args.seed)
 

@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dim_mults", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--results_folder", default="./results/force_surrogate")
     p.add_argument("--is_testdata", type=lambda s: s == "True", default=True)
+    p.add_argument("--data_cache", default=None,
+                   help="generate_airfoil_sims cache dir shared across CLIs")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -49,7 +51,9 @@ def main(argv=None):
         time_stamps=40 if args.is_testdata else 100,
         n_warmup=60 if args.is_testdata else 300,
     )
-    data = generate_airfoil_sims(args.seed, args.n_sims, acfg, BDIMConfig())
+    data = generate_airfoil_sims(
+        args.seed, args.n_sims, acfg, BDIMConfig(), cache_dir=args.data_cache
+    )
 
     # build (pressure+boundary → force) pairs from every recorded frame
     S, T = data["fields"].shape[:2]

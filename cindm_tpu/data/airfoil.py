@@ -38,6 +38,7 @@ from ..physics.bdim import (
     naca_coords,
     rotate_coords,
     simulate_flow,
+    simulate_flow_batch,
 )
 
 
@@ -116,29 +117,40 @@ def generate_airfoil_sims(
         }
     rng = np.random.default_rng(seed)
     fields, bounds, masks, offs, forces = [], [], [], [], []
-    for s in range(n_sims):
-        coords = boundary_coords(sample_boundary_params(rng, cfg.grid))
-        (us, vs, ps), fs = simulate_flow(
-            bdim_cfg, jnp.asarray(coords, jnp.float32), cfg.n_warmup, cfg.time_stamps
-        )
-        c = cfg.crop
-        # solver arrays are [i=x, j=y]; datasets store [row=y, col=x] →
-        # transpose, then crop cells 1..62 (already cropped to interior 64²,
-        # take the first 62)
-        f = np.stack(
+    c = cfg.crop
+    # vmapped generation in chunks: one device launch simulates `chunk`
+    # boundaries at once (the reference runs one LilyPad JVM per sim)
+    chunk = 16
+    for s0 in range(0, n_sims, chunk):
+        bsz = min(chunk, n_sims - s0)
+        coords_b = np.stack(
             [
-                np.transpose(np.asarray(us), (0, 2, 1))[:, :c, :c],
-                np.transpose(np.asarray(vs), (0, 2, 1))[:, :c, :c],
-                np.transpose(np.asarray(ps), (0, 2, 1))[:, :c, :c],
-            ],
-            axis=-1,
+                boundary_coords(sample_boundary_params(rng, cfg.grid))
+                for _ in range(bsz)
+            ]
+        ).astype(np.float32)
+        (us, vs, ps), fs = simulate_flow_batch(
+            bdim_cfg, jnp.asarray(coords_b), cfg.n_warmup, cfg.time_stamps
         )
-        m, o = boundary_mask_offset(coords, c)
-        fields.append(f)
-        bounds.append(coords.astype(np.float32))
-        masks.append(m)
-        offs.append(o)
-        forces.append(np.asarray(fs))
+        us, vs, ps, fs = (np.asarray(a) for a in (us, vs, ps, fs))
+        for k in range(bsz):
+            # solver arrays are [i=x, j=y]; datasets store [row=y, col=x] →
+            # transpose, then crop cells 1..62 (already cropped to interior
+            # 64², take the first 62)
+            f = np.stack(
+                [
+                    np.transpose(us[k], (0, 2, 1))[:, :c, :c],
+                    np.transpose(vs[k], (0, 2, 1))[:, :c, :c],
+                    np.transpose(ps[k], (0, 2, 1))[:, :c, :c],
+                ],
+                axis=-1,
+            )
+            m, o = boundary_mask_offset(coords_b[k], c)
+            fields.append(f)
+            bounds.append(coords_b[k])
+            masks.append(m)
+            offs.append(o)
+            forces.append(fs[k])
     out = {
         "fields": np.stack(fields),
         "boundary": np.stack(bounds),
