@@ -54,11 +54,45 @@ def bench(B, dtype, label):
     return rate
 
 
+def bench_chunked(B, chunk, label):
+    """B split into B/chunk sequential slices inside ONE jit (lax.map).
+    If this recovers the B=64 rate, the large-batch slowdown is a VMEM
+    working-set effect — and per-chip DP sharding (batch 512 over 8 chips
+    = 64/chip) runs at full rate."""
+    model = TemporalUnet1D(horizon=SMS, transition_dim=8, dim=64, attention=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SMS, 8)), jnp.zeros(1, jnp.int32))
+    eps = make_composed_eps_model(lambda x, t: model.apply(params, x, t),
+                                  compose_n_bodies=N, n_composed=NC,
+                                  compose_start_step=CSS, single_model_step=SMS)
+
+    @jax.jit
+    def run(x, t):
+        def body(h, _):
+            xc = h.reshape(B // chunk, chunk, *h.shape[1:])
+            tc = t.reshape(B // chunk, chunk)
+            out = jax.lax.map(lambda a: eps(a[0], a[1]), (xc, tc))
+            return out.reshape(h.shape) * 0.01 + h, None
+        h, _ = jax.lax.scan(body, x, None, length=REPS)
+        return h
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, SMS + NC * CSS, N * 4))
+    t = jnp.full((B,), 500, jnp.int32)
+    run(x, t).block_until_ready()
+    t0 = time.perf_counter()
+    run(x, t).block_until_ready()
+    dt = (time.perf_counter() - t0) / REPS
+    rate = (NC + 1) * P * B / dt
+    print(f"{label} B={B}/chunk{chunk}: {dt*1e3:7.1f} ms  {rate:12,.0f} pair-window fwds/s", flush=True)
+    return rate
+
+
 if __name__ == "__main__":
     for B in (64, 256, 512):
         bench(B, jnp.float32, "f32 ")
     for B in (64, 256, 512):
         bench(B, jnp.bfloat16, "bf16")
+    bench_chunked(512, 64, "f32 ")
+    bench_chunked(512, 128, "f32 ")
     if os.environ.get("TRACE_DIR"):
         from cindm_tpu.utils.observability import profile_trace
         with profile_trace(os.environ["TRACE_DIR"]):

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate", type=lambda s: s == "True", default=True)
     p.add_argument("--n_warmup", type=int, default=300)
     p.add_argument("--n_record", type=int, default=100)
+    p.add_argument("--is_testdata", type=lambda s: s == "True", default=False,
+                   help="tiny BDIM datagen for smoke runs")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -72,7 +74,11 @@ def main(argv=None):
 
     # dataset: init states + OOD statistics (the reference clones dataset
     # samples into the optimization variables, `:310-320`)
-    acfg = AirfoilDatasetConfig(input_steps=1, output_steps=1, time_interval=1)
+    acfg = AirfoilDatasetConfig(
+        input_steps=1, output_steps=1, time_interval=1,
+        time_stamps=10 if args.is_testdata else 100,
+        n_warmup=20 if args.is_testdata else 300,
+    )
     data = generate_airfoil_sims(args.seed + 7, args.n_sims, acfg, cache_dir=args.data_dir)
     ds = AirfoilDataset(data, acfg)
     rng = np.random.default_rng(args.seed)

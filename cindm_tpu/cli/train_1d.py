@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset_path", default="./dataset/nbody_dataset")
     p.add_argument("--results_folder", default="./results/nbody")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="Adam lr (`model/diffusion_1d.py:2610`); the GNS "
+                        "full-rollout loss trains more stably at ~3e-5")
     p.add_argument("--gradient_accumulate_every", type=int, default=2)
     p.add_argument("--gns_noise_std", type=float, default=6.7e-7,
                    help="random-walk training noise (GNS_model/configs/Nbody.yaml:28)")
@@ -130,7 +133,7 @@ def main(argv=None):
         beta_schedule=args.beta_schedule,
         loss_weight_discount=args.loss_weight_discount,
     )
-    tcfg = TrainConfig(gradient_accumulate_every=args.gradient_accumulate_every)
+    tcfg = TrainConfig(lr=args.lr, gradient_accumulate_every=args.gradient_accumulate_every)
 
     mesh = None
     if args.n_devices > 0:

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cindm_tpu.physics.bdim import (
     BDIMConfig,
     bdim_step,

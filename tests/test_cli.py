@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_train_1d_diffusion_smoke(tmp_path):
     from cindm_tpu.cli.train_1d import main
@@ -142,6 +144,7 @@ def test_design_2d_baseline_gd_smoke():
     record = main([
         "--design_method", "GD", "--surrogate", "fno",
         "--optim_iter", "5", "--rollout", "2", "--batch_size", "1",
+        "--is_testdata", "True", "--n_sims", "2", "--evaluate", "False",
     ])
     assert np.isfinite(record["obj_last"])
     # gradient descent should not increase the objective
@@ -155,6 +158,7 @@ def test_design_2d_baseline_cem_smoke():
         "--design_method", "CEM", "--surrogate", "fno",
         "--optim_iter", "2", "--rollout", "1", "--batch_size", "1",
         "--N", "8", "--Ne", "2",
+        "--is_testdata", "True", "--n_sims", "2", "--evaluate", "False",
     ])
     assert np.isfinite(record["obj_last"])
 

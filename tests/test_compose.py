@@ -7,6 +7,7 @@ import itertools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cindm_tpu.sampling.compose import (
     make_composed_eps_model,
@@ -129,6 +130,7 @@ def test_outside_composition_clips_pairwise():
     )
 
 
+@pytest.mark.slow
 def test_trivial_composition_equals_plain_sampling():
     """n=2 bodies, no extra windows: the composed path (K=1, P=1,
     mean-inside) must reproduce plain p_sample_loop exactly."""

@@ -19,9 +19,12 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "model")), reason="reference not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "model")), reason="reference not mounted"
+    ),
+]
 
 torch = pytest.importorskip("torch")
 

@@ -122,6 +122,7 @@ def _synthetic_state_dict(horizon=24, transition=8, dim=64, mults=(1, 2, 4, 8)):
     return sd
 
 
+@pytest.mark.slow
 def test_full_model_conversion_structure_and_forward():
     sd = _synthetic_state_dict()
     params = convert_temporal_unet1d(sd, horizon=24)

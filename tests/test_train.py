@@ -1,6 +1,9 @@
 """Training-step tests: loss decreases on a fixed batch; EMA/LR semantics;
 multi-device mesh sharding compiles and runs on the virtual 8-CPU mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,8 @@
 """2D diffusion training smoke tests + checkpoint round-trip."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 import numpy as np

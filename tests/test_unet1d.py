@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cindm_tpu.models.unet1d import TemporalUnet1D, _stage_flags
 
 
