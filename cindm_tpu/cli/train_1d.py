@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_accumulate_every", type=int, default=2)
     p.add_argument("--gns_noise_std", type=float, default=6.7e-7,
                    help="random-walk training noise (GNS_model/configs/Nbody.yaml:28)")
+    p.add_argument("--steps_per_launch", type=int, default=1,
+                   help="micro-steps fused into one device launch "
+                        "(lax.scan); amortizes per-launch dispatch "
+                        "overhead — essential on tunneled TPU backends")
     p.add_argument("--n_devices", type=int, default=0,
                    help="shard the train step over a DP mesh of this many "
                         "devices (0 = single device, no mesh)")
@@ -134,6 +138,10 @@ def main(argv=None):
         loss_weight_discount=args.loss_weight_discount,
     )
     tcfg = TrainConfig(lr=args.lr, gradient_accumulate_every=args.gradient_accumulate_every)
+    spl = max(args.steps_per_launch, 1)
+    if spl % max(args.gradient_accumulate_every, 1):
+        raise SystemExit("--steps_per_launch must be a multiple of "
+                         "--gradient_accumulate_every")
 
     mesh = None
     if args.n_devices > 0:
@@ -148,7 +156,8 @@ def main(argv=None):
             horizon=horizon, transition_dim=feat, dim=args.Unet_dim, attention=True
         )
         params = model.init(key, jnp.zeros((1, horizon, feat)), jnp.zeros(1, jnp.int32))
-        step = make_train_step(model.apply, dcfg, sched, tcfg, mesh=mesh)
+        step = make_train_step(model.apply, dcfg, sched, tcfg, mesh=mesh,
+                               steps_per_launch=spl)
     elif args.method_type == "forward_model":
         from ..baselines import Unet1DForwardModel
 
@@ -163,7 +172,8 @@ def main(argv=None):
             pred = model.apply(params, cond, noise)
             return jnp.mean(jnp.abs(pred - batch["x"]))
 
-        step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh)
+        step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh,
+                                         steps_per_launch=spl)
     elif args.method_type == "Unet_rollout_one":
         from ..baselines import Unet1DForwardModel
 
@@ -185,7 +195,8 @@ def main(argv=None):
             pred = jnp.transpose(traj, (1, 0, 2))
             return jnp.mean(jnp.abs(pred - x[:, 1:]))
 
-        step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh)
+        step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh,
+                                         steps_per_launch=spl)
     elif args.method_type in ("GNS", "GNS_cond_one", "GNS_direct"):
         from ..baselines import GNSConfig, GNSNet, make_gns_loss
 
@@ -206,7 +217,8 @@ def main(argv=None):
             model.apply, gcfg, n_bodies, mode,
             time_interval=args.time_interval, noise_std=args.gns_noise_std,
         )
-        step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh)
+        step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh,
+                                         steps_per_launch=spl)
     else:
         raise ValueError(args.method_type)
 
@@ -261,20 +273,35 @@ def main(argv=None):
     start_step = int(state["step"])
     opt_step = start_step
     last_saved = opt_step
+    last_logged = opt_step
+    last_evaled = opt_step
+
+    def next_launch_batch():
+        if spl == 1:
+            return shard(next(it))
+        bs = [next(it) for _ in range(spl)]
+        stacked = {k: np.stack([b[k] for b in bs]) for k in bs[0]}
+        return shard(stacked)
+
     # the optimizer applies an update every `accum`-th micro-batch, so the
     # global step is host-computable — no per-step device sync, which keeps
     # the device pipeline full (dispatch runs ahead of execution)
     while opt_step < args.train_num_steps:
-        batch = shard(next(it))
+        batch = next_launch_batch()
         state, loss = step(state, batch, jax.random.fold_in(key, micro))
-        micro += 1
-        if micro % accum:
+        micro += spl
+        if spl == 1 and micro % accum:
             continue  # accumulation micro-batch, no optimizer update
         opt_step = start_step + micro // accum
-        milestone = opt_step % args.save_and_sample_every == 0 and opt_step != last_saved
-        log = opt_step % args.log_every == 0 or milestone or opt_step >= args.train_num_steps
+        milestone = (opt_step - last_saved >= args.save_and_sample_every
+                     and opt_step != last_saved)
+        log = (opt_step - last_logged >= args.log_every or milestone
+               or opt_step >= args.train_num_steps)
         if not log:
             continue
+        last_logged = opt_step
+        if spl > 1:
+            loss = loss[-1]
         loss_f = float(loss)  # device sync only at log points
         if not np.isfinite(loss_f):
             # NaN guard: stop before poisoning checkpoints (the reference
@@ -295,7 +322,8 @@ def main(argv=None):
                   flush=True)
         else:
             print(f"step {opt_step}: loss {loss_f:.6f}", flush=True)
-        if args.eval_every > 0 and opt_step % args.eval_every == 0:
+        if args.eval_every > 0 and opt_step - last_evaled >= args.eval_every:
+            last_evaled = opt_step
             run_eval(opt_step)
     return state
 

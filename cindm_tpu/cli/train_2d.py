@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results_folder", default="./results/airfoil")
     p.add_argument("--data_cache", default=None)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--steps_per_launch", type=int, default=1,
+                   help="micro-steps fused into one lax.scan device launch")
     p.add_argument("--resume", type=lambda s: s == "True", default=False)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -75,7 +77,8 @@ def main(argv=None):
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
     tcfg = TrainConfig()
     state = init_train_state(params, make_optimizer(tcfg))
-    step = make_train_step_2d(model.apply, cfg, sched, tcfg)
+    spl = max(args.steps_per_launch, 1)
+    step = make_train_step_2d(model.apply, cfg, sched, tcfg, steps_per_launch=spl)
     mngr = CheckpointManager(args.results_folder)
     start = 0
     if args.resume and mngr.latest_milestone() is not None:
@@ -85,19 +88,31 @@ def main(argv=None):
     it = ds.iterate_batches(min(args.batch_size, len(ds)), seed=args.seed)
     import numpy as np
 
-    for i in range(start, args.train_num_steps):
-        b = next(it)
-        batch = {"x": jnp.asarray(b["x"]), "cond": jnp.asarray(b["cond"])}
-        state, loss = step(state, batch, jax.random.fold_in(key, i))
-        step_no = i + 1
-        milestone = step_no % args.save_and_sample_every == 0
-        if milestone or step_no % args.log_every == 0 or step_no == args.train_num_steps:
+    step_no = start
+    last_saved = start
+    last_logged = start
+    while step_no < args.train_num_steps:
+        if spl == 1:
+            b = next(it)
+            batch = {"x": jnp.asarray(b["x"]), "cond": jnp.asarray(b["cond"])}
+        else:
+            bs = [next(it) for _ in range(spl)]
+            batch = {k: jnp.asarray(np.stack([b[k] for b in bs]))
+                     for k in ("x", "cond")}
+        state, loss = step(state, batch, jax.random.fold_in(key, step_no))
+        step_no += spl
+        if spl > 1:
+            loss = loss[-1]
+        milestone = step_no - last_saved >= args.save_and_sample_every
+        if milestone or step_no - last_logged >= args.log_every or step_no >= args.train_num_steps:
+            last_logged = step_no
             loss_f = float(loss)  # device sync only at log points
             if not np.isfinite(loss_f):
                 raise FloatingPointError(f"non-finite loss at step {step_no}")
             print(f"step {step_no}: loss {loss_f:.6f}", flush=True)
             if milestone:
                 mngr.save(step_no, jax.device_get(state))
+                last_saved = step_no
     return state
 
 

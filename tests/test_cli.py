@@ -76,6 +76,26 @@ def test_train_1d_dp_mesh_and_eval(tmp_path):
     assert np.isfinite(rec["sample_mae"])
 
 
+def test_train_1d_steps_per_launch(tmp_path):
+    """--steps_per_launch fuses k micro-steps into one lax.scan launch;
+    optimizer-step accounting (incl. grad accum) must be unchanged."""
+    from cindm_tpu.cli.train_1d import main
+
+    state = main([
+        "--n_sims", "4", "--train_num_steps", "8", "--batch_size", "4",
+        "--Unet_dim", "16", "--save_and_sample_every", "4", "--log_every", "2",
+        "--steps_per_launch", "4",
+        "--results_folder", str(tmp_path / "r"),
+        "--dataset_path", str(tmp_path / "d"),
+        "--gradient_accumulate_every", "2",
+    ])
+    # 4 micro-steps/launch at accum 2 = 2 optimizer steps per launch
+    assert int(state["step"]) == 8
+    from cindm_tpu.train import CheckpointManager
+
+    assert CheckpointManager(str(tmp_path / "r")).latest_milestone() == 8
+
+
 def test_train_1d_grad_accum_counts_opt_steps(tmp_path):
     """train_num_steps counts optimizer steps, not micro-batches."""
     from cindm_tpu.cli.train_1d import main
