@@ -52,6 +52,24 @@ def test_2d_loss_decreases():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+def test_2d_steps_per_launch_matches_stepwise():
+    """k-fused launches advance the same optimizer-step count and keep the
+    loss finite (the scan wraps the identical per-step function)."""
+    cfg, model, params, sched = _setup()
+    tcfg = TrainConfig(ema_update_every=1)
+    state = init_train_state(params, make_optimizer(tcfg))
+    step = make_train_step_2d(model.apply, cfg, sched, tcfg, steps_per_launch=3)
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "x": jax.random.normal(key, (3, 4, 16, 16, 9)) * 0.3,
+        "cond": jax.random.normal(key, (3, 4, 16, 16, 3)) * 0.3,
+    }
+    state, losses = step(state, batch, key)
+    assert losses.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert int(state["step"]) == 3
+
+
 def test_2d_sampling_shapes_and_sharing():
     cfg, model, params, sched = _setup()
     eps = lambda x, t: model.apply(params, x, t)
