@@ -86,6 +86,34 @@ def bench_chunked(B, chunk, label):
     return rate
 
 
+def bench_foldchunks(B, fc, label):
+    """fold_chunks built into make_composed_eps_model (the production
+    path of the chunked hypothesis, vs the hand-rolled bench_chunked)."""
+    model = TemporalUnet1D(horizon=SMS, transition_dim=8, dim=64, attention=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SMS, 8)), jnp.zeros(1, jnp.int32))
+    eps = make_composed_eps_model(lambda x, t: model.apply(params, x, t),
+                                  compose_n_bodies=N, n_composed=NC,
+                                  compose_start_step=CSS, single_model_step=SMS,
+                                  fold_chunks=fc)
+
+    @jax.jit
+    def run(x, t):
+        def body(h, _):
+            return eps(h, t) * 0.01 + h, None
+        h, _ = jax.lax.scan(body, x, None, length=REPS)
+        return h
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, SMS + NC * CSS, N * 4))
+    t = jnp.full((B,), 500, jnp.int32)
+    run(x, t).block_until_ready()
+    t0 = time.perf_counter()
+    run(x, t).block_until_ready()
+    dt = (time.perf_counter() - t0) / REPS
+    rate = (NC + 1) * P * B / dt
+    print(f"{label} B={B}/fold{fc}: {dt*1e3:7.1f} ms  {rate:12,.0f} pair-window fwds/s", flush=True)
+    return rate
+
+
 if __name__ == "__main__":
     for B in (64, 256, 512):
         bench(B, jnp.float32, "f32 ")
@@ -93,6 +121,8 @@ if __name__ == "__main__":
         bench(B, jnp.bfloat16, "bf16")
     bench_chunked(512, 64, "f32 ")
     bench_chunked(512, 128, "f32 ")
+    for fc in (2, 4, 8):
+        bench_foldchunks(512, fc, "f32 ")
     if os.environ.get("TRACE_DIR"):
         from cindm_tpu.utils.observability import profile_trace
         with profile_trace(os.environ["TRACE_DIR"]):

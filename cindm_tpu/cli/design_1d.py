@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compose_start_step", type=int, default=4)
     p.add_argument("--target", type=float, nargs=2, default=[0.5, 0.5])
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fold_chunks", type=int, default=1,
+                   help="split the folded (window, pair, batch) axis into "
+                        "this many sequential denoiser calls per step "
+                        "(bounds the working set at large batch)")
     p.add_argument("--host_chunks", type=int, default=10,
                    help="split the reverse loop into N device launches (same numerics)")
     return p
@@ -101,6 +105,7 @@ def main(argv=None):
         compose_n_bodies=args.compose_n_bodies, compose_mode=args.compose_mode,
         sample_steps=args.sample_steps,
         host_chunks=args.host_chunks,
+        fold_chunks=args.fold_chunks,
     )
 
     total_rollout = out.shape[1] - 1

@@ -139,7 +139,7 @@ def main(argv=None):
     )
     tcfg = TrainConfig(lr=args.lr, gradient_accumulate_every=args.gradient_accumulate_every)
     spl = max(args.steps_per_launch, 1)
-    if spl % max(args.gradient_accumulate_every, 1):
+    if spl > 1 and spl % max(args.gradient_accumulate_every, 1):
         raise SystemExit("--steps_per_launch must be a multiple of "
                          "--gradient_accumulate_every")
 

@@ -108,6 +108,7 @@ def sample(
     sample_steps: Optional[int] = None,
     init_img: Optional[jax.Array] = None,
     host_chunks: int = 1,
+    fold_chunks: int = 1,
 ) -> jax.Array:
     """Sampling dispatcher (`model/diffusion_1d.py:2329-2376`): DDIM when
     sample_steps < T, else full ancestral; composed ε-model when requested."""
@@ -132,6 +133,7 @@ def sample(
             else ("mean-inside" if outside else compose_mode),
             sched=sched,
             clip_pairwise_x_start=outside,
+            fold_chunks=fold_chunks,
         )
         total_steps = cfg.horizon + n_composed * compose_start_step
     elif cfg.conditioned_steps > 0:

@@ -104,6 +104,22 @@ def test_composed_model_is_jittable():
     np.testing.assert_allclose(np.asarray(jitted(x, t)), np.asarray(fn(x, t)), rtol=1e-5)
 
 
+def test_fold_chunks_bit_identical():
+    """fold_chunks only re-slices the folded (window, pair, batch) axis —
+    output must match the monolithic path exactly."""
+    base = _linear_base(jax.random.PRNGKey(0))
+    kw = dict(compose_n_bodies=4, n_composed=1,
+              compose_start_step=4, single_model_step=24)
+    fn1 = make_composed_eps_model(base, **kw)
+    fn4 = make_composed_eps_model(base, fold_chunks=4, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 16))
+    t = jnp.array([3, 7])
+    np.testing.assert_array_equal(np.asarray(fn4(x, t)), np.asarray(fn1(x, t)))
+    # non-divisible fold count falls back to the monolithic call
+    fn5 = make_composed_eps_model(base, fold_chunks=5, **kw)
+    np.testing.assert_array_equal(np.asarray(fn5(x, t)), np.asarray(fn1(x, t)))
+
+
 def test_outside_composition_clips_pairwise():
     """clip_pairwise_x_start (outside-composition semantics) must differ from
     inside when x̂0 exceeds [-1, 1], and equal it when it doesn't."""
