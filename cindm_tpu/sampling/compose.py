@@ -48,6 +48,13 @@ def window_coverage(
     return cov
 
 
+# throughput-optimal folded-axis slice for the composed denoiser call:
+# measured on v5e — 5,376-sample slices (the B=64 flagship fold) run at
+# ~470k pair-window fwds/s where a 43k monolithic fold runs at ~305k
+# (benchmarks/bench_batch512.py, fold2/4/8 sweep)
+FOLD_TARGET = 5376
+
+
 def make_composed_eps_model(
     base_eps_model: EpsModel,
     *,
@@ -59,7 +66,7 @@ def make_composed_eps_model(
     feature_size: int = 4,
     sched=None,
     clip_pairwise_x_start: bool = False,
-    fold_chunks: int = 1,
+    fold_chunks: int = 0,
 ) -> EpsModel:
     """Lift a 2-body single-window ε-model to n bodies over composed windows.
 
@@ -108,14 +115,27 @@ def make_composed_eps_model(
 
         t_rep = jnp.tile(t, K * P)
         n_fold = K * P * B
-        if fold_chunks > 1 and n_fold % fold_chunks == 0:
-            # bound the per-call working set: run the denoiser over
-            # `fold_chunks` sequential slices of the folded (window, pair,
-            # batch) axis inside one launch (lax.map). At large fold sizes
-            # one monolithic call degrades (VERDICT round-1 weak #2); the
-            # chunked form keeps each slice at the throughput-optimal size.
-            pair_c = pair_in.reshape(fold_chunks, n_fold // fold_chunks, sms, 2 * F)
-            t_c = t_rep.reshape(fold_chunks, n_fold // fold_chunks)
+        fc = fold_chunks
+        if fc == 0:
+            # auto: bound each denoiser call's folded axis at ~FOLD_TARGET
+            # samples. One monolithic call degrades 429k→305k fwds/s from
+            # B=64 to B=512 (VMEM working set; benchmarks/bench_batch512.py)
+            # while 5,376-sample slices run at full rate — so pick the
+            # smallest divisor of n_fold that restores that slice size.
+            fc = 1
+            if n_fold > FOLD_TARGET:
+                lo = -(-n_fold // FOLD_TARGET)
+                # nearest divisor ≥ the target count; give up (monolithic)
+                # if none within 4× — tiny slices would serialize the MXU
+                fc = next(
+                    (f for f in range(lo, min(4 * lo, n_fold) + 1) if n_fold % f == 0),
+                    1,
+                )
+        if fc > 1 and n_fold % fc == 0:
+            # sequential lax.map slices inside one launch — bit-identical
+            # to the monolithic call (test_fold_chunks_bit_identical)
+            pair_c = pair_in.reshape(fc, n_fold // fc, sms, 2 * F)
+            t_c = t_rep.reshape(fc, n_fold // fc)
             eps = jax.lax.map(lambda a: base_eps_model(a[0], a[1]), (pair_c, t_c))
             eps = eps.reshape(n_fold, sms, 2 * F)
         else:
