@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--steps_per_launch", type=int, default=1,
                    help="micro-steps fused into one lax.scan device launch")
+    p.add_argument("--device_data", type=lambda s: s == "True", default=True,
+                   help="keep the whole dataset in HBM and gather batches "
+                        "on device (zero per-step host transfer)")
     p.add_argument("--resume", type=lambda s: s == "True", default=False)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -46,6 +49,7 @@ def main(argv=None):
         init_train_state,
         make_optimizer,
         make_train_step_2d,
+        make_train_step_from_loss,
     )
 
     from ..utils.cache import enable_compile_cache
@@ -78,21 +82,39 @@ def main(argv=None):
     tcfg = TrainConfig()
     state = init_train_state(params, make_optimizer(tcfg))
     spl = max(args.steps_per_launch, 1)
-    step = make_train_step_2d(model.apply, cfg, sched, tcfg, steps_per_launch=spl)
+    if args.device_data:
+        from ..sampling.diffusion2d import p_losses_2d
+
+        draw = ds.make_device_sampler(min(args.batch_size, len(ds)))
+
+        def loss_fn(params, dummy, key):
+            kb, kl = jax.random.split(key)
+            b = draw(kb)
+            eps = lambda x, t: model.apply(params, x, t)
+            return p_losses_2d(cfg, sched, eps, b["x"], b["cond"], kl)
+
+        step = make_train_step_from_loss(loss_fn, tcfg, steps_per_launch=spl)
+    else:
+        step = make_train_step_2d(model.apply, cfg, sched, tcfg, steps_per_launch=spl)
     mngr = CheckpointManager(args.results_folder)
     start = 0
     if args.resume and mngr.latest_milestone() is not None:
         state = mngr.load(template=state)
         start = int(state["step"])
         print(f"resumed from step {start}")
-    it = ds.iterate_batches(min(args.batch_size, len(ds)), seed=args.seed)
+    it = None
+    if not args.device_data:
+        it = ds.iterate_batches(min(args.batch_size, len(ds)), seed=args.seed)
     import numpy as np
 
+    dummy = jnp.zeros((spl, 1) if spl > 1 else (1,))
     step_no = start
     last_saved = start
     last_logged = start
     while step_no < args.train_num_steps:
-        if spl == 1:
+        if args.device_data:
+            batch = dummy
+        elif spl == 1:
             b = next(it)
             batch = {"x": jnp.asarray(b["x"]), "cond": jnp.asarray(b["cond"])}
         else:

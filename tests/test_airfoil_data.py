@@ -54,6 +54,30 @@ def test_generate_shapes(small_sims):
     assert data["forces"].shape == (2, 40, 1, 2)
 
 
+def test_device_sampler_matches_get_batch(small_sims):
+    """The HBM-resident gather must reproduce get_batch exactly (same
+    normalization, 62→64 pad, frame-major channel packing)."""
+    import jax.numpy as jnp
+
+    data, cfg = small_sims
+    ds = AirfoilDataset(data, cfg)
+    draw = ds.make_device_sampler(batch_size=2)
+    # window idx 0 and 3 → (sim, time) via the same divmod as get_window
+    idx = np.array([0, 3])
+    sims, tids = np.divmod(idx, ds.time_stamps_effective)
+    mids = tids * cfg.time_interval + ds.t_cushion_input
+    got = draw.gather(jnp.asarray(sims), jnp.asarray(mids))
+    want = ds.get_batch(idx)
+    np.testing.assert_allclose(np.asarray(got["x"]), want["x"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["cond"]), want["cond"], atol=1e-6)
+    # random draws have valid shapes and stay in range
+    import jax
+
+    b = draw(jax.random.PRNGKey(0))
+    assert b["x"].shape == (2, 64, 64, 15) and b["cond"].shape == (2, 64, 64, 6)
+    assert np.isfinite(np.asarray(b["x"])).all()
+
+
 def test_dataset_windowing_and_batch(small_sims):
     data, cfg = small_sims
     ds = AirfoilDataset(data, cfg)
