@@ -87,13 +87,14 @@ def main(argv=None):
 
         draw = ds.make_device_sampler(min(args.batch_size, len(ds)))
 
-        def loss_fn(params, dummy, key):
+        def loss_fn(params, arrays, key):
             kb, kl = jax.random.split(key)
-            b = draw(kb)
+            b = draw(arrays, kb)
             eps = lambda x, t: model.apply(params, x, t)
             return p_losses_2d(cfg, sched, eps, b["x"], b["cond"], kl)
 
-        step = make_train_step_from_loss(loss_fn, tcfg, steps_per_launch=spl)
+        step = make_train_step_from_loss(loss_fn, tcfg, steps_per_launch=spl,
+                                         broadcast_batch=True)
     else:
         step = make_train_step_2d(model.apply, cfg, sched, tcfg, steps_per_launch=spl)
     mngr = CheckpointManager(args.results_folder)
@@ -107,7 +108,7 @@ def main(argv=None):
         it = ds.iterate_batches(min(args.batch_size, len(ds)), seed=args.seed)
     import numpy as np
 
-    dummy = jnp.zeros((spl, 1) if spl > 1 else (1,))
+    dummy = draw.arrays if args.device_data else None
     step_no = start
     last_saved = start
     last_logged = start

@@ -306,27 +306,31 @@ class AirfoilDataset:
             [self.data["mask"][..., None], self.data["offset"]], axis=-1
         )
         aux = jnp.asarray(np.pad(aux, ((0, 0), (0, 2), (0, 2), (0, 0))))  # [S,64,64,3]
+        arrays = {"fields": fields, "aux": aux}
         cond_off = jnp.arange(-c.input_steps * c.time_interval, 0, c.time_interval)
         pred_off = jnp.arange(0, c.output_steps * c.time_interval, c.time_interval)
         eff = self.time_stamps_effective
         cushion = self.t_cushion_input
         B = batch_size
 
-        def gather(sim: "jax.Array", mid: "jax.Array") -> dict:
+        def gather(arrays: dict, sim: "jax.Array", mid: "jax.Array") -> dict:
             def pack(offsets):
                 idx = mid[:, None] + offsets[None, :]  # [B, nf]
-                g = fields[sim[:, None], idx]  # [B, nf, 64, 64, 3]
+                g = arrays["fields"][sim[:, None], idx]  # [B, nf, 64, 64, 3]
                 g = jnp.transpose(g, (0, 2, 3, 1, 4))  # frame-major channels
                 return g.reshape(len(sim), 64, 64, -1)
 
-            x = jnp.concatenate([pack(pred_off), aux[sim]], axis=-1)
+            x = jnp.concatenate([pack(pred_off), arrays["aux"][sim]], axis=-1)
             return {"x": x, "cond": pack(cond_off)}
 
-        def draw(key: "jax.Array") -> dict:
+        def draw(arrays: dict, key: "jax.Array") -> dict:
             ks, kt = jax.random.split(key)
             sim = jax.random.randint(ks, (B,), 0, S)
             mid = jax.random.randint(kt, (B,), 0, eff) * c.time_interval + cushion
-            return gather(sim, mid)
+            return gather(arrays, sim, mid)
 
+        # the arrays ride as a jit ARGUMENT (multi-GB closure constants get
+        # serialized into the compiled HLO — minutes of compile time)
+        draw.arrays = arrays
         draw.gather = gather  # deterministic path, for tests
         return draw

@@ -96,8 +96,16 @@ def make_train_step_from_loss(
     train_cfg: TrainConfig,
     mesh: Optional[Mesh] = None,
     steps_per_launch: int = 1,
+    broadcast_batch: bool = False,
 ) -> Callable:
     """Build a jitted train step from any loss_fn(params, batch, key)→scalar.
+
+    ``broadcast_batch=True`` (with steps_per_launch>1) passes the SAME batch
+    pytree to every micro-step instead of scanning over a stacked leading
+    axis — for device-resident-dataset loss_fns that draw their own random
+    batch from the passed arrays (keyed per micro-step). Passing the arrays
+    as a jit argument keeps multi-GB datasets out of the compiled graph
+    (closure constants get serialized into HLO).
 
     Returns step_fn(state, batch, key) -> (state, loss). When a mesh is
     given, the batch is sharded over its 'data' axis and params replicated
@@ -150,20 +158,35 @@ def make_train_step_from_loss(
     if steps_per_launch > 1:
         single = step_fn
 
-        def step_fn(state, batches, key):  # noqa: F811 — scan-wrapped variant
-            def body(st, inp):
-                i, batch = inp
-                return single(st, batch, jax.random.fold_in(key, i))
+        if broadcast_batch:
 
-            return jax.lax.scan(
-                body, state, (jnp.arange(steps_per_launch), batches)
-            )
+            def step_fn(state, batch, key):  # noqa: F811 — scan-wrapped variant
+                def body(st, i):
+                    return single(st, batch, jax.random.fold_in(key, i))
+
+                return jax.lax.scan(body, state, jnp.arange(steps_per_launch))
+
+        else:
+
+            def step_fn(state, batches, key):  # noqa: F811 — scan-wrapped variant
+                def body(st, inp):
+                    i, batch = inp
+                    return single(st, batch, jax.random.fold_in(key, i))
+
+                return jax.lax.scan(
+                    body, state, (jnp.arange(steps_per_launch), batches)
+                )
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(*((None, "data") if steps_per_launch > 1 else ("data",))))
+    if broadcast_batch:
+        data = repl  # device-resident dataset: replicate, draws are per-chip
+    else:
+        data = NamedSharding(
+            mesh, P(*((None, "data") if steps_per_launch > 1 else ("data",)))
+        )
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl),

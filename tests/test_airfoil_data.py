@@ -66,14 +66,14 @@ def test_device_sampler_matches_get_batch(small_sims):
     idx = np.array([0, 3])
     sims, tids = np.divmod(idx, ds.time_stamps_effective)
     mids = tids * cfg.time_interval + ds.t_cushion_input
-    got = draw.gather(jnp.asarray(sims), jnp.asarray(mids))
+    got = draw.gather(draw.arrays, jnp.asarray(sims), jnp.asarray(mids))
     want = ds.get_batch(idx)
     np.testing.assert_allclose(np.asarray(got["x"]), want["x"], atol=1e-6)
     np.testing.assert_allclose(np.asarray(got["cond"]), want["cond"], atol=1e-6)
     # random draws have valid shapes and stay in range
     import jax
 
-    b = draw(jax.random.PRNGKey(0))
+    b = draw(draw.arrays, jax.random.PRNGKey(0))
     assert b["x"].shape == (2, 64, 64, 15) and b["cond"].shape == (2, 64, 64, 6)
     assert np.isfinite(np.asarray(b["x"])).all()
 
