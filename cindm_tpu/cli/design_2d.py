@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_record", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--host_chunks", type=int, default=10)
+    p.add_argument("--dump_raw", default=None,
+                   help="save the raw sampled tensor to this .npy for "
+                        "offline post-processing analysis")
     return p
 
 
@@ -89,20 +92,27 @@ def main(argv=None):
     )
     # post-process: mask → polygons, reject overlapping designs
     out_np = np.asarray(out)
+    if args.dump_raw:
+        np.save(args.dump_raw, out_np)
     results = []
+    fail = {"overlap": 0, "n_polys": 0}
     for b in range(args.batch_size):
         masks = np.asarray(mask_denoise(out_np[b, :, :62, :62, -3]))
         if args.num_boundaries > 1 and polygons_overlap(masks):
+            fail["overlap"] += 1
             continue
         polys = []
         for k in range(args.num_boundaries):
             ps = reconstruct_boundary(masks[k], out_np[b, k, :62, :62, -2:])
             if len(ps) != 1:
+                print(f"sample {b} boundary {k}: {len(ps)} polygons "
+                      f"(mask px {int(masks[k].sum())})")
+                fail["n_polys"] += 1
                 break
             polys.append(ps[0])
         if len(polys) == args.num_boundaries:
             results.append(polys)
-    print(f"valid designs: {len(results)}/{args.batch_size}")
+    print(f"valid designs: {len(results)}/{args.batch_size} (rejected: {fail})")
 
     record = {"valid_designs": len(results), "batch_size": args.batch_size}
     if args.evaluate and results:
