@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Adam lr (`model/diffusion_1d.py:2610`); the GNS "
                         "full-rollout loss trains more stably at ~3e-5")
     p.add_argument("--gradient_accumulate_every", type=int, default=2)
+    p.add_argument("--collision_frac", type=float, default=0.0,
+                   help="fraction of each batch drawn from collision-rich "
+                        "windows (the reference's more_collision training "
+                        "distribution, scripts_paper/1D/cindm.sh)")
     p.add_argument("--gns_noise_std", type=float, default=6.7e-7,
                    help="random-walk training noise (GNS_model/configs/Nbody.yaml:28)")
     p.add_argument("--steps_per_launch", type=int, default=1,
@@ -266,7 +270,8 @@ def main(argv=None):
         print(f"eval @ {opt_step}: {rec}")
         return rec
 
-    it = ds.iterate_batches(args.batch_size, seed=args.seed)
+    it = ds.iterate_batches(args.batch_size, seed=args.seed,
+                            collision_frac=args.collision_frac)
     loss_hist: list[tuple[int, float]] = []
     accum = max(args.gradient_accumulate_every, 1)
     micro = 0

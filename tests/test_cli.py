@@ -96,6 +96,26 @@ def test_train_1d_steps_per_launch(tmp_path):
     assert CheckpointManager(str(tmp_path / "r")).latest_milestone() == 8
 
 
+def test_collision_enriched_sampler(tmp_path):
+    """collision_frac draws part of every batch from close-encounter windows
+    (the reference's more_collision training distribution)."""
+    import numpy as np
+    from cindm_tpu.data.nbody import NBodyDataset, NBodyDatasetConfig
+
+    cfg = NBodyDatasetConfig(n_bodies=2, output_steps=8, time_stamps=200)
+    ds = NBodyDataset(cfg, n_sims=4, seed=0,
+                      cache_path=str(tmp_path / "traj.npy"))
+    m = ds.collision_window_mask(threshold=60.0)
+    assert m.shape == (len(ds),) and m.dtype == bool
+    it = ds.iterate_batches(8, seed=0, collision_frac=0.5)
+    b = next(it)
+    assert b["x"].shape == (8, 8, 8)
+    assert np.isfinite(b["x"]).all()
+    # a permissive threshold marks every window, a strict one none
+    assert ds.collision_window_mask(threshold=1e9).all()
+    assert not ds.collision_window_mask(threshold=0.0).any()
+
+
 def test_train_1d_grad_accum_counts_opt_steps(tmp_path):
     """train_num_steps counts optimizer steps, not micro-batches."""
     from cindm_tpu.cli.train_1d import main
