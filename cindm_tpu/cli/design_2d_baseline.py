@@ -116,7 +116,9 @@ def main(argv=None):
         mngr = CheckpointManager(args.surrogate_path)
         sparams = mngr.load(template=init_train_state(sparams, make_optimizer(TrainConfig())))["params"]
 
-    fmodel = ForceUnet(dim=32, dim_mults=(1, 2))
+    # must match train_force's architecture (dim 64, mults (1,2,4,8)) so
+    # the force_paper checkpoint template lines up
+    fmodel = ForceUnet(dim=64, dim_mults=(1, 2, 4, 8))
     fparams = fmodel.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 4)))
     if args.force_model_path:
         fmngr = CheckpointManager(args.force_model_path)
