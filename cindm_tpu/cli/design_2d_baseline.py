@@ -64,7 +64,7 @@ def main(argv=None):
     from ..models.unet2d import ForceUnet
     from ..sampling.guidance2d import mask_denoise, unnormalize_state
     from ..train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
-    from ..utils import evaluate_designs, polygons_overlap, reconstruct_boundary
+    from ..utils import evaluate_designs, reconstruct_boundary
     from ..utils.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -84,13 +84,41 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     idx = rng.integers(0, len(ds), B)
     batch = ds.get_batch(idx)
-    windows = [ds.get_window(int(j)) for j in idx]
     u0 = jnp.asarray(batch["cond"])[..., :3]  # [B, 64, 64, 3] normalized state
     pad = ((0, 2), (0, 2), (0, 0))
-    mask0 = np.stack([np.pad(w["mask"][..., None], pad) for w in windows])
-    off0 = np.stack([np.pad(w["offset"], pad) for w in windows])
-    design0 = {"mask": jnp.asarray(mask0, jnp.float32),
-               "offset": jnp.asarray(off0, jnp.float32)}
+    K = args.num_boundaries
+    # K > 1: the reference's _twobds scripts initialize the optimization grid
+    # from a double-boundary dataset sample (summed masks,
+    # `inverse_design_GD_discrete_fno_twobds.py:153-166`); we synthesize the
+    # K-boundary init by rolling K dataset boundaries to distinct vertical
+    # stations and summing their mask/offset grids.
+    def synth_composite(window_ids):
+        """Sum K dataset boundaries rolled to distinct vertical stations →
+        (mask [62,62,1], offset [62,62,2])."""
+        m_sum = np.zeros((62, 62, 1), np.float32)
+        o_sum = np.zeros((62, 62, 2), np.float32)
+        for k, j in enumerate(window_ids):
+            w = ds.get_window(int(j))
+            m = w["mask"].astype(np.float32)
+            o = w["offset"].astype(np.float32)
+            if K > 1:
+                rows = np.nonzero(m.sum(axis=1))[0]
+                centroid = float(rows.mean()) if len(rows) else 31.0
+                shift = int(round(62.0 * (k + 1) / (K + 1) - centroid))
+                m = np.roll(m, shift, axis=0)
+                o = np.roll(o, shift, axis=0)
+            m_sum += m[..., None]
+            o_sum += o
+        return np.clip(m_sum, 0, 1), o_sum
+
+    mask0_l, off0_l = [], []
+    for b in range(B):
+        ids = [idx[b]] if K == 1 else rng.integers(0, len(ds), K)
+        m0, o0 = synth_composite(ids)
+        mask0_l.append(np.pad(m0, pad))
+        off0_l.append(np.pad(o0, pad))
+    design0 = {"mask": jnp.asarray(np.stack(mask0_l), jnp.float32),
+               "offset": jnp.asarray(np.stack(off0_l), jnp.float32)}
 
     # OOD hinge statistics: ½·range ball around the dataset mean
     # (mean_state/range_state, mean_bd/range_bd in the reference `:120-180`)
@@ -99,7 +127,13 @@ def main(argv=None):
     range_state = float(np.max(np.linalg.norm(
         (all_states - np.asarray(mean_state)).reshape(all_states.shape[0], -1), axis=1
     )))
-    all_bd = np.concatenate([data["mask"][..., None], data["offset"]], -1)
+    if K == 1:
+        all_bd = np.concatenate([data["mask"][..., None], data["offset"]], -1)
+    else:
+        # OOD ball around K-boundary composites (the reference's _twobds
+        # scripts draw init AND stats from a double-boundary dataset)
+        comp = [synth_composite(rng.integers(0, len(ds), K)) for _ in range(64)]
+        all_bd = np.stack([np.concatenate([m, o], -1) for m, o in comp])
     mean_bd = jnp.asarray(all_bd.mean(0))  # [62, 62, 3]
     range_bd = float(np.max(np.linalg.norm((all_bd - np.asarray(mean_bd)).reshape(all_bd.shape[0], -1), axis=1)))
 
@@ -201,20 +235,25 @@ def main(argv=None):
     # the CinDM path in design_2d.py), replacing reference E5
     mask_np = np.asarray(design["mask"])[:, :62, :62, 0]
     off_np = np.asarray(design["offset"])[:, :62, :62, :]
-    polys, valid = [], 0
+    # valid design = exactly K disjoint clusters reconstruct to polygons
+    # (clusters are disjoint in the shared mask by construction, so the
+    # pairwise-overlap rejection of the CinDM path is subsumed)
+    poly_sets, valid = [], 0
     for b in range(B):
         m = np.asarray(mask_denoise(jnp.asarray(mask_np[b])))
         ps = reconstruct_boundary(m, off_np[b])
-        if len(ps) == 1:
-            polys.append(ps[0])
+        if len(ps) == K:
+            poly_sets.append(ps)
             valid += 1
     record["valid_designs"] = valid
     record["batch_size"] = B
-    if args.evaluate and polys:
-        M = max(len(p) for p in polys)
-        batchpolys = np.stack(
-            [np.pad(p, ((0, M - len(p)), (0, 0)), mode="edge") for p in polys]
-        )[:, None]  # [B, K=1, M, 2]
+    record["num_boundaries"] = K
+    if args.evaluate and poly_sets:
+        M = max(len(p) for ps in poly_sets for p in ps)
+        batchpolys = np.stack([
+            np.stack([np.pad(p, ((0, M - len(p)), (0, 0)), mode="edge") for p in ps])
+            for ps in poly_sets
+        ])  # [valid, K, M, 2]
         scores = evaluate_designs(batchpolys, n_warmup=args.n_warmup, n_record=args.n_record)
         record.update({k: float(v) for k, v in scores.items() if k != "forces"})
     print(json.dumps(record))
