@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bounds the working set at large batch)")
     p.add_argument("--host_chunks", type=int, default=10,
                    help="split the reverse loop into N device launches (same numerics)")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="shard the candidate-design batch over a data mesh "
+                        "of this many chips (batch-sharded sampling, "
+                        "SURVEY.md §2.6; 0 = single device)")
     return p
 
 
@@ -97,9 +101,29 @@ def main(argv=None):
 
     eps = lambda x, t: model.apply(params, x, t)
     total_feat = args.compose_n_bodies * 4
+    init_img = None
+    if args.n_devices > 0:
+        # batch-sharded sampling: seed the reverse loop with an x_T whose
+        # batch axis is sharded over the 'data' mesh; guided diffusion has
+        # no cross-sample communication, so placement propagates through
+        # the (chunked) scans and each chip denoises its shard.
+        from ..parallel import make_mesh, shard_design_batch
+        from ..sampling import sample_total_steps
+
+        mesh = make_mesh(args.n_devices, ("data",))
+        if args.batch_size % args.n_devices:
+            raise SystemExit("--batch_size must be a multiple of --n_devices")
+        total_steps = sample_total_steps(
+            dcfg, args.n_composed, args.compose_start_step, args.compose_n_bodies
+        )
+        key0 = jax.random.PRNGKey(args.seed + 1)
+        init_img = shard_design_batch(
+            mesh, jax.random.normal(key0, (args.batch_size, total_steps, total_feat))
+        )
     out = sample(
         dcfg, sched, eps, jax.random.PRNGKey(args.seed),
         batch_size=args.batch_size, feature_size=total_feat,
+        init_img=init_img,
         design_fn=design_fn, design_guidance=args.design_guidance,
         n_composed=args.n_composed, compose_start_step=args.compose_start_step,
         compose_n_bodies=args.compose_n_bodies, compose_mode=args.compose_mode,

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_record", type=int, default=100)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--host_chunks", type=int, default=10)
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="shard the (batch·num_boundaries) sampling axis "
+                        "over a data mesh of this many chips (0 = single)")
     p.add_argument("--dump_raw", default=None,
                    help="save the raw sampled tensor to this .npy for "
                         "offline post-processing analysis")
@@ -84,11 +87,19 @@ def main(argv=None):
     )
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
     eps = lambda x, t: model.apply(params, x, t)
+    mesh = None
+    if args.n_devices > 0:
+        from ..parallel import make_mesh
+
+        if (args.batch_size * args.num_boundaries) % args.n_devices:
+            raise SystemExit("batch_size * num_boundaries must be a "
+                             "multiple of --n_devices")
+        mesh = make_mesh(args.n_devices, ("data",))
     out = p_sample_loop_2d(
         cfg, sched, eps, jax.random.PRNGKey(args.seed),
         batch=args.batch_size, num_boundaries=args.num_boundaries,
         design_fn=design_fn, design_guidance=args.design_guidance,
-        host_chunks=args.host_chunks,
+        host_chunks=args.host_chunks, mesh=mesh,
     )
     # post-process: mask → polygons, reject overlapping designs
     out_np = np.asarray(out)

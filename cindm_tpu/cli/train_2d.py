@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep the whole dataset in HBM and gather batches "
                         "on device (zero per-step host transfer)")
     p.add_argument("--resume", type=lambda s: s == "True", default=False)
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="DP-shard the train step over a data mesh of this "
+                        "many chips (0 = single device)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -81,6 +84,11 @@ def main(argv=None):
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
     tcfg = TrainConfig()
     state = init_train_state(params, make_optimizer(tcfg))
+    mesh = None
+    if args.n_devices > 0:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.n_devices, ("data",))
     spl = max(args.steps_per_launch, 1)
     if args.device_data:
         from ..sampling.diffusion2d import p_losses_2d
@@ -93,10 +101,12 @@ def main(argv=None):
             eps = lambda x, t: model.apply(params, x, t)
             return p_losses_2d(cfg, sched, eps, b["x"], b["cond"], kl)
 
-        step = make_train_step_from_loss(loss_fn, tcfg, steps_per_launch=spl,
+        step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh,
+                                         steps_per_launch=spl,
                                          broadcast_batch=True)
     else:
-        step = make_train_step_2d(model.apply, cfg, sched, tcfg, steps_per_launch=spl)
+        step = make_train_step_2d(model.apply, cfg, sched, tcfg, mesh=mesh,
+                                  steps_per_launch=spl)
     mngr = CheckpointManager(args.results_folder)
     start = 0
     if args.resume and mngr.latest_milestone() is not None:

@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate_airfoil_sims cache dir shared across CLIs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--is_testdata", type=lambda s: s == "True", default=True)
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="DP-shard the train step over a data mesh of this "
+                        "many chips (0 = single device)")
     return p
 
 
@@ -105,7 +108,12 @@ def main(argv=None):
     print(f"Number of parameter: {sum(p.size for p in jax.tree.leaves(params))/1e6:.2f}M")
     tcfg = TrainConfig(lr=args.lr, ema_update_every=1)
     state = init_train_state(params, make_optimizer(tcfg))
-    step = make_train_step_from_loss(loss_fn, tcfg)
+    mesh = None
+    if args.n_devices > 0:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.n_devices, ("data",))
+    step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh)
     mngr = CheckpointManager(args.results_folder)
 
     rng = np.random.default_rng(args.seed)

@@ -89,6 +89,21 @@ def p_losses(
     )
 
 
+def sample_total_steps(
+    cfg: Diffusion1DConfig,
+    n_composed: int = 0,
+    compose_start_step: int = 4,
+    compose_n_bodies: int = 2,
+) -> int:
+    """Time length of the array `sample` denoises — mirrors its dispatch
+    (composed: horizon + n_composed·start; conditioned: rollout only)."""
+    if n_composed > 0 or compose_n_bodies > 2:
+        return cfg.horizon + n_composed * compose_start_step
+    if cfg.conditioned_steps > 0:
+        return cfg.rollout_steps
+    return cfg.horizon
+
+
 def sample(
     cfg: Diffusion1DConfig,
     sched: DiffusionSchedule,
@@ -164,7 +179,7 @@ def sample(
             sampling_timesteps=steps, eta=cfg.ddim_sampling_eta,
             cond=cond_for_loop, design_fn=design_fn, guidance=guidance,
             initial_state_overwrite=initial_state_overwrite,
-            objective=cfg.objective,
+            objective=cfg.objective, init_img=init_img,
         )
     return p_sample_loop(
         sched, model, shape, key,

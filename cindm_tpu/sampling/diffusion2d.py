@@ -224,15 +224,24 @@ def p_sample_loop_2d(
     design_fn: Optional[DesignGradFn] = None,
     design_guidance: str = "standard-alpha",
     host_chunks: int = 1,
+    mesh=None,
 ) -> jax.Array:
     """Full ancestral loop (`model/diffusion_2d.py:892-907`).
     Returns [B, nb, H, W, C]. ``host_chunks`` splits the loop into short
     device launches (identical numerics) to stay under the TPU runtime's
-    long-launch watchdog on big configs."""
+    long-launch watchdog on big configs.
+
+    ``mesh`` shards the folded (batch·nb) axis over its 'data' axis —
+    batch-sharded sampling; the per-sample boundary-share reduction is
+    compiled by XLA into the needed collectives."""
     H = W = cfg.image_size
     C = cfg.channels
     key, k0 = jax.random.split(key)
     img = sample_noise(k0, batch, num_boundaries, H, W, C)
+    if mesh is not None:
+        from ..parallel import shard_design_batch
+
+        img = shard_design_batch(mesh, img)
 
     def step(carry, t):
         img, key = carry

@@ -248,15 +248,20 @@ def ddim_sample_loop(
     initial_state_overwrite: Optional[jax.Array] = None,
     clip_denoised: bool = True,
     objective: str = "pred_noise",
+    init_img: Optional[jax.Array] = None,
 ) -> jax.Array:
     """DDIM sampler (`model/diffusion_1d.py:1723-1804`), implemented *working*
     with guidance (the reference's guided-DDIM path returns a guided mean in
     place of pred_noise, a known quirk — SURVEY.md §7 "hard parts" #6; here
-    guidance shifts x̂0 by the design gradient before the DDIM update)."""
+    guidance shifts x̂0 by the design gradient before the DDIM update).
+
+    ``init_img`` replaces the internally-drawn x_T — used by the sharded
+    CLIs to seed the loop with a batch-sharded array whose placement
+    propagates through the scan."""
     T = sched.num_timesteps
     times, times_next = dd.ddim_times(T, sampling_timesteps)
     key, k0 = jax.random.split(key)
-    img = jax.random.normal(k0, shape)
+    img = jax.random.normal(k0, shape) if init_img is None else init_img
     B = shape[0]
 
     def step(carry, tt):
