@@ -1,0 +1,114 @@
+"""Final paper-protocol Tables 1/2 runner (VERDICT round-2 #5).
+
+Reference budgets (`scripts_paper/1D/cindm.sh`, `baseline.sh`,
+`inverse_design_1d_baseline.py:87-104`):
+- CinDM: val_batch_size=500, sample_steps=1000, standard-recurrence-10,
+  coef 0.2/0.2 (the 2-body time-composition rows use the script's
+  0.4/0.1); rows (bodies, n_composed) from cindm.sh Table 1/2 blocks.
+- Baselines: CEM N=1000 / Ne=100 / 1000 iterations, backprop 1000 GD
+  steps, batch 500.
+
+Usage: python benchmarks/run_tables_paper.py --diffusion_path ./results/nbody2_coll200k
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import json
+import time
+
+CKPTS = {
+    "Unet": "./results/nbody-2-forward",
+    "Unet_single_step": "./results/nbody-2-rollout-one",
+    "GNS_autoregress": "./results/nbody-2-gns-cond-one",
+    "GNS_direct": "./results/nbody-2-gns-direct",
+}
+
+# (compose_n_bodies, n_composed, design_coef, consistency_coef)
+CINDM_ROWS = [
+    (2, 0, 0.2, 0.2),   # Table 1: 2-body direct
+    (2, 1, 0.4, 0.1),   # Table 2: 2-body, 34 steps
+    (2, 2, 0.4, 0.1),   # Table 2: 2-body, 44 steps
+    (2, 3, 0.4, 0.1),   # Table 2: 2-body, 54 steps
+    (4, 0, 0.2, 0.2),   # Table 1: 4-body direct window
+    (4, 2, 0.2, 0.2),   # Table 2: 4-body, 44 steps
+    (8, 0, 0.2, 0.2),   # Table 2: 8-body, 24 steps
+    (8, 2, 0.2, 0.2),   # Table 2: 8-body, 54 steps (flagship)
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--diffusion_path", default="./results/nbody2_paper")
+    ap.add_argument("--out", default="./results/tables_paper.json")
+    ap.add_argument("--batch_size", type=int, default=500)
+    ap.add_argument("--skip_baselines", action="store_true")
+    ap.add_argument("--design_coef", type=float, default=None,
+                    help="override the per-row design_coef (sweep winner)")
+    ap.add_argument("--consistency_coef", type=float, default=None)
+    args = ap.parse_args()
+
+    from cindm_tpu.cli import design_1d, design_1d_baseline
+
+    rows = []
+
+    def flush():
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+
+    for n_bodies, n_comp, dc, cc in CINDM_ROWS:
+        if args.design_coef is not None:
+            dc = args.design_coef
+        if args.consistency_coef is not None:
+            cc = args.consistency_coef
+        t0 = time.time()
+        try:
+            rec = design_1d.main([
+                "--model_path", args.diffusion_path,
+                "--compose_n_bodies", str(n_bodies),
+                "--n_composed", str(n_comp),
+                "--batch_size", str(args.batch_size),
+                "--sample_steps", "1000",
+                "--design_guidance", "standard-recurrence-10",
+                "--design_coef", str(dc), "--consistency_coef", str(cc),
+                "--host_chunks", "20",
+            ])
+            rows.append({"method": "CinDM", "n_bodies": n_bodies,
+                         "n_composed": n_comp, "design_coef": dc,
+                         "consistency_coef": cc,
+                         "wall_s": round(time.time() - t0, 1), **{
+                k: v for k, v in rec.items() if isinstance(v, (int, float, str))
+            }})
+        except Exception as e:
+            rows.append({"method": "CinDM", "n_bodies": n_bodies,
+                         "n_composed": n_comp, "error": repr(e)})
+        print("ROW", json.dumps(rows[-1]), flush=True)
+        flush()
+
+    if not args.skip_baselines:
+        for design_method in ("backprop", "CEM"):
+            for model, path in CKPTS.items():
+                t0 = time.time()
+                try:
+                    rec = design_1d_baseline.main([
+                        "--design_method", design_method,
+                        "--method_type", model,
+                        "--model_path", path,
+                        "--n_bodies", "2", "--rollout_steps", "23",
+                        "--batch_size", str(args.batch_size),
+                        "--max_design_steps", "1000",
+                        "--N", "1000", "--Ne", "100",
+                    ])
+                    rows.append({"method": f"{design_method}/{model}",
+                                 "wall_s": round(time.time() - t0, 1), **rec})
+                except Exception as e:
+                    rows.append({"method": f"{design_method}/{model}",
+                                 "error": repr(e)})
+                print("ROW", json.dumps(rows[-1]), flush=True)
+                flush()
+
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep the whole dataset in HBM and gather batches "
                         "on device (zero per-step host transfer)")
     p.add_argument("--resume", type=lambda s: s == "True", default=False)
+    p.add_argument("--remat", type=lambda s: s == "True", default=False,
+                   help="jax.checkpoint the denoiser forward inside the "
+                        "loss: backward recomputes activations instead of "
+                        "storing them — required to fit batch 48 alongside "
+                        "a multi-GB device-resident dataset in 16G HBM")
     p.add_argument("--n_devices", type=int, default=0,
                    help="DP-shard the train step over a data mesh of this "
                         "many chips (0 = single device)")
@@ -95,10 +100,14 @@ def main(argv=None):
 
         draw = ds.make_device_sampler(min(args.batch_size, len(ds)))
 
+        apply = model.apply
+        if args.remat:
+            apply = jax.checkpoint(model.apply)
+
         def loss_fn(params, arrays, key):
             kb, kl = jax.random.split(key)
             b = draw(arrays, kb)
-            eps = lambda x, t: model.apply(params, x, t)
+            eps = lambda x, t: apply(params, x, t)
             return p_losses_2d(cfg, sched, eps, b["x"], b["cond"], kl)
 
         step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh,
