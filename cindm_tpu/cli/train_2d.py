@@ -34,10 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "on device (zero per-step host transfer)")
     p.add_argument("--resume", type=lambda s: s == "True", default=False)
     p.add_argument("--remat", type=lambda s: s == "True", default=False,
-                   help="jax.checkpoint the denoiser forward inside the "
-                        "loss: backward recomputes activations instead of "
-                        "storing them — required to fit batch 48 alongside "
-                        "a multi-GB device-resident dataset in 16G HBM")
+                   help="block-level nn.remat inside the denoiser: backward "
+                        "recomputes each ResnetBlock/attention interior "
+                        "instead of storing it — required to fit batch 48 "
+                        "alongside a multi-GB device-resident dataset in "
+                        "16G HBM (param structure unchanged)")
     p.add_argument("--n_devices", type=int, default=0,
                    help="DP-shard the train step over a data mesh of this "
                         "many chips (0 = single device)")
@@ -81,7 +82,8 @@ def main(argv=None):
         pred_frames=args.pred_frames,
         timesteps=args.timesteps,
     )
-    model = Unet2D(dim=64, dim_mults=(1, 2), channels=cfg.channels)
+    model = Unet2D(dim=64, dim_mults=(1, 2), channels=cfg.channels,
+                   remat=args.remat)
     key = jax.random.PRNGKey(args.seed)
     params = model.init(key, jnp.zeros((1, 64, 64, cfg.channels)), jnp.zeros(1, jnp.int32))
     print(f"Number of parameter: {sum(p.size for p in jax.tree.leaves(params))/1e6:.2f}M")
@@ -100,14 +102,10 @@ def main(argv=None):
 
         draw = ds.make_device_sampler(min(args.batch_size, len(ds)))
 
-        apply = model.apply
-        if args.remat:
-            apply = jax.checkpoint(model.apply)
-
         def loss_fn(params, arrays, key):
             kb, kl = jax.random.split(key)
             b = draw(arrays, kb)
-            eps = lambda x, t: apply(params, x, t)
+            eps = lambda x, t: model.apply(params, x, t)
             return p_losses_2d(cfg, sched, eps, b["x"], b["cond"], kl)
 
         step = make_train_step_from_loss(loss_fn, tcfg, mesh=mesh,

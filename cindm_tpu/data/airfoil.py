@@ -293,19 +293,30 @@ class AirfoilDataset:
         enough to live in HBM next to the model.
 
         Batch layout matches get_batch exactly (same _norm, 62→64 pad,
-        frame-major channel packing)."""
+        frame-major channel packing).
+
+        Storage layout: frames live as FLAT rows [S·T, 64·64·3] and batches
+        gather rows by flat index. Storing the natural [S, T, 64, 64, 3]
+        instead makes XLA relayout the whole dataset inside the program to
+        serve the 2-axis gather — a one-shot copy of the entire array at
+        2× tile padding (minor dim 3), which alone OOM'd the 1024-sim run
+        (9.4 G HLO temp on a 4.7 G dataset). A row gather on a 128-aligned
+        minor dim (12288 = 96·128) needs no source relayout; the per-batch
+        transpose afterwards touches only ~10 MB."""
         import jax
         import jax.numpy as jnp
 
         c = self.cfg
         f = self.data["fields"]  # [S, T, 62, 62, 3]
-        S = f.shape[0]
+        S, T = f.shape[0], f.shape[1]
         pad4 = ((0, 0), (0, 0), (0, 2), (0, 2), (0, 0))
-        fields = jnp.asarray(np.pad(self._norm(f), pad4))  # [S, T, 64, 64, 3]
+        padded = np.pad(self._norm(f), pad4)  # [S, T, 64, 64, 3]
+        fields = jnp.asarray(padded.reshape(S * T, 64 * 64 * 3))
         aux = np.concatenate(
             [self.data["mask"][..., None], self.data["offset"]], axis=-1
         )
-        aux = jnp.asarray(np.pad(aux, ((0, 0), (0, 2), (0, 2), (0, 0))))  # [S,64,64,3]
+        aux = np.pad(aux, ((0, 0), (0, 2), (0, 2), (0, 0)))  # [S, 64, 64, 3]
+        aux = jnp.asarray(aux.reshape(S, 64 * 64 * 3))
         arrays = {"fields": fields, "aux": aux}
         cond_off = jnp.arange(-c.input_steps * c.time_interval, 0, c.time_interval)
         pred_off = jnp.arange(0, c.output_steps * c.time_interval, c.time_interval)
@@ -315,12 +326,14 @@ class AirfoilDataset:
 
         def gather(arrays: dict, sim: "jax.Array", mid: "jax.Array") -> dict:
             def pack(offsets):
-                idx = mid[:, None] + offsets[None, :]  # [B, nf]
-                g = arrays["fields"][sim[:, None], idx]  # [B, nf, 64, 64, 3]
+                idx = sim[:, None] * T + mid[:, None] + offsets[None, :]  # [B, nf]
+                g = arrays["fields"][idx]  # [B, nf, 12288] row gather
+                g = g.reshape(len(sim), -1, 64, 64, 3)
                 g = jnp.transpose(g, (0, 2, 3, 1, 4))  # frame-major channels
                 return g.reshape(len(sim), 64, 64, -1)
 
-            x = jnp.concatenate([pack(pred_off), arrays["aux"][sim]], axis=-1)
+            a = arrays["aux"][sim].reshape(len(sim), 64, 64, 3)
+            x = jnp.concatenate([pack(pred_off), a], axis=-1)
             return {"x": x, "cond": pack(cond_off)}
 
         def draw(arrays: dict, key: "jax.Array") -> dict:
