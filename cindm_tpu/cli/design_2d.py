@@ -29,6 +29,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coeff_ratio", type=float, default=2e-4)
     p.add_argument("--lambda_force", type=float, default=1.0)
     p.add_argument("--lambda_overlap", type=float, default=1.0)
+    p.add_argument("--lambda_separation", type=float, default=0.0,
+                   help="symmetry-breaking ablation: weight of the pairwise "
+                        "mask-centroid separation term (pushes nb>=2 "
+                        "boundaries APART instead of shrinking them like "
+                        "the overlap penalty)")
+    p.add_argument("--init_sep", type=float, default=0.0,
+                   help="symmetry-breaking ablation: amplitude of per-"
+                        "boundary Gaussian bumps added to the mask channel "
+                        "of x_T at staggered streamwise positions (0 = off)")
     p.add_argument("--share_noise", type=lambda s: s == "True", default=True)
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--p_min", type=float, default=-1.0)
@@ -84,7 +93,23 @@ def main(argv=None):
     design_fn = make_design_grad_fn(
         force_model, args.batch_size, args.num_boundaries, cfg.frames,
         args.p_min, args.p_max, args.lambda_force, args.lambda_overlap,
+        lambda_separation=args.lambda_separation,
     )
+    init_bias = None
+    if args.init_sep > 0.0 and args.num_boundaries > 1:
+        # per-boundary Gaussian bump in the mask channel, centers staggered
+        # along the flow (x) axis — asymmetric-init ablation (VERDICT r2 #1)
+        H = W = cfg.image_size
+        nb = args.num_boundaries
+        yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+        centers_x = (jnp.arange(nb) + 1.0) * W / (nb + 1.0)
+        cy = H / 2.0
+        s = W / (3.0 * nb)
+        bumps = jnp.exp(-((xx[None] - centers_x[:, None, None]) ** 2
+                          + (yy[None] - cy) ** 2) / (2 * s * s))  # [nb, H, W]
+        bias = jnp.zeros((args.batch_size, nb, H, W, cfg.channels))
+        bias = bias.at[..., -3].set(args.init_sep * bumps[None])
+        init_bias = bias.reshape(args.batch_size * nb, H, W, cfg.channels)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
     eps = lambda x, t: model.apply(params, x, t)
     mesh = None
@@ -99,7 +124,7 @@ def main(argv=None):
         cfg, sched, eps, jax.random.PRNGKey(args.seed),
         batch=args.batch_size, num_boundaries=args.num_boundaries,
         design_fn=design_fn, design_guidance=args.design_guidance,
-        host_chunks=args.host_chunks, mesh=mesh,
+        host_chunks=args.host_chunks, mesh=mesh, init_bias=init_bias,
     )
     # post-process: mask → polygons, reject overlapping designs
     out_np = np.asarray(out)
@@ -125,7 +150,11 @@ def main(argv=None):
             results.append(polys)
     print(f"valid designs: {len(results)}/{args.batch_size} (rejected: {fail})")
 
-    record = {"valid_designs": len(results), "batch_size": args.batch_size}
+    record = {"valid_designs": len(results), "batch_size": args.batch_size,
+              "num_boundaries": args.num_boundaries,
+              "lambda_overlap": args.lambda_overlap,
+              "lambda_separation": args.lambda_separation,
+              "init_sep": args.init_sep}
     if args.evaluate and results:
         # pad polygons to a fixed point count for batching
         M = max(len(p) for polys in results for p in polys)
@@ -134,7 +163,8 @@ def main(argv=None):
             for polys in results
         ])
         scores = evaluate_designs(batchpolys, n_warmup=args.n_warmup, n_record=args.n_record)
-        record.update({k: v for k, v in scores.items() if k != "forces"})
+        record.update({k: v for k, v in scores.items()
+                       if np.ndim(v) == 0})
     print(json.dumps(record))
     return record
 

@@ -255,7 +255,8 @@ def main(argv=None):
             for ps in poly_sets
         ])  # [valid, K, M, 2]
         scores = evaluate_designs(batchpolys, n_warmup=args.n_warmup, n_record=args.n_record)
-        record.update({k: float(v) for k, v in scores.items() if k != "forces"})
+        record.update({k: float(v) for k, v in scores.items()
+                       if np.ndim(v) == 0})
     print(json.dumps(record))
     return record
 

@@ -225,6 +225,7 @@ def p_sample_loop_2d(
     design_guidance: str = "standard-alpha",
     host_chunks: int = 1,
     mesh=None,
+    init_bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full ancestral loop (`model/diffusion_2d.py:892-907`).
     Returns [B, nb, H, W, C]. ``host_chunks`` splits the loop into short
@@ -233,11 +234,18 @@ def p_sample_loop_2d(
 
     ``mesh`` shards the folded (batch·nb) axis over its 'data' axis —
     batch-sharded sampling; the per-sample boundary-share reduction is
-    compiled by XLA into the needed collectives."""
+    compiled by XLA into the needed collectives.
+
+    ``init_bias`` ([B·nb, H, W, C] or broadcastable) is added to the x_T
+    noise — the asymmetric per-boundary initialization ablation (VERDICT
+    r2 #1): distinct spatial bumps in each boundary's mask channel break
+    the symmetry that otherwise collapses nb≥2 designs onto one shape."""
     H = W = cfg.image_size
     C = cfg.channels
     key, k0 = jax.random.split(key)
     img = sample_noise(k0, batch, num_boundaries, H, W, C)
+    if init_bias is not None:
+        img = img + init_bias
     if mesh is not None:
         from ..parallel import shard_design_batch
 

@@ -82,6 +82,31 @@ def overlap_objective(
     return jnp.sum(compute_overlap(m))
 
 
+def mask_centroids(x: jax.Array, batch_size: int, num_boundaries: int) -> jax.Array:
+    """Soft centroid of each boundary's mask channel: [B, nb, 2] in cells."""
+    H, W = x.shape[1], x.shape[2]
+    mask = jnp.clip(x[..., -3], 0.0, 1.0).reshape(batch_size, num_boundaries, H, W)
+    tot = jnp.sum(mask, axis=(-2, -1)) + 1e-6
+    rows = jnp.sum(mask * jnp.arange(H)[None, None, :, None], axis=(-2, -1)) / tot
+    cols = jnp.sum(mask * jnp.arange(W)[None, None, None, :], axis=(-2, -1)) / tot
+    return jnp.stack([rows, cols], axis=-1)
+
+
+def separation_objective(
+    x: jax.Array, batch_size: int, num_boundaries: int, scale: float = 12.0
+) -> jax.Array:
+    """Symmetry-breaking ablation (VERDICT r2 #1): Σ_{i<j} exp(−d²/2s²) of
+    mask-centroid distances. Unlike the reference's overlap penalty
+    (`inverse_design_2d.py:135-143`), whose gradient symmetrically SHRINKS
+    both masks where they coincide, descending this term TRANSLATES the
+    centroids apart — directly testing the round-2 diagnosis that nb≥2
+    designs coalesce because nothing in the objective separates them."""
+    c = mask_centroids(x, batch_size, num_boundaries)  # [B, nb, 2]
+    d2 = jnp.sum((c[:, :, None] - c[:, None, :]) ** 2, axis=-1)
+    off = 1.0 - jnp.eye(num_boundaries)[None]
+    return jnp.sum(jnp.exp(-d2 / (2.0 * scale * scale)) * off) / 2.0
+
+
 def make_design_grad_fn(
     force_model: Callable[[jax.Array], jax.Array],
     batch_size: int,
@@ -91,6 +116,7 @@ def make_design_grad_fn(
     p_max: float,
     lambda_force: float = 1.0,
     lambda_overlap: float = 1.0,
+    lambda_separation: float = 0.0,
 ) -> Callable[[jax.Array], jax.Array]:
     """design_fn(x) → ∇x objective (`inverse_design_2d.py:208-214`)."""
 
@@ -100,6 +126,10 @@ def make_design_grad_fn(
         )
         if num_boundaries > 1 and lambda_overlap != 0.0:
             obj = obj + lambda_overlap * overlap_objective(x, batch_size, num_boundaries)
+        if num_boundaries > 1 and lambda_separation != 0.0:
+            obj = obj + lambda_separation * separation_objective(
+                x, batch_size, num_boundaries
+            )
         return obj
 
     return jax.grad(objective)

@@ -51,6 +51,29 @@ def metric_batch(forces: np.ndarray, lam: float = 1.0):
     )
 
 
+def chord_lengths(boundaries: np.ndarray) -> np.ndarray:
+    """Per-boundary chord (streamwise extent, grid cells): [B, K, M, 2] →
+    [B, K]. BDIM freestream is +x (`LilyPad.pde` inflow), so the chord is
+    the x-extent of each polygon — the length LilyPad's own circle/foil
+    demos normalize force coefficients by (`BDIM.pde:20-31`)."""
+    b = np.asarray(boundaries)
+    return b[..., 0].max(axis=-1) - b[..., 0].min(axis=-1)
+
+
+def force_coefficients(forces: np.ndarray, boundaries: np.ndarray,
+                       u_inf: float = 1.0):
+    """Convert solver-unit forces to dimensionless coefficients
+    (VERDICT r2 #3): C = F / (½·ρ·U∞²·D), ρ=1 in solver units, D = summed
+    chord of the K designed boundaries, so multi-boundary designs are
+    normalized by their total chord. forces: [B, T, K, 2] → (Cd, Cl) each
+    [B, T], using the per-batch total chord."""
+    q = 0.5 * u_inf * u_inf * np.maximum(
+        chord_lengths(boundaries).sum(axis=1), 1e-6)  # [B]
+    drag = forces[..., 0].sum(axis=2) / q[:, None]
+    lift = forces[..., 1].sum(axis=2) / q[:, None]
+    return drag, lift
+
+
 def evaluate_designs(
     boundaries: np.ndarray,
     bdim_cfg: Optional[BDIMConfig] = None,
@@ -72,10 +95,17 @@ def evaluate_designs(
     _, forces = simulate_flow_batch(cfg, jnp.asarray(boundaries), n_warmup, n_record)
     forces = np.asarray(forces)
     drag_min, lift_max, obj_min, frac_max = metric_batch(forces, lam)
+    cd, cl = force_coefficients(forces, boundaries, cfg.u_inf)
+    cd_mean, cl_mean = cd.mean(axis=1), cl.mean(axis=1)
     return {
         "forces": forces,
         "drag_min": drag_min,
         "lift_max": lift_max,
         "obj_min": obj_min,
         "lift_over_drag_max": frac_max,
+        # dimensionless (÷ ½U∞²·total-chord): externally interpretable
+        "cd_min": float(np.min(np.abs(cd_mean))),
+        "cl_max": float(np.max(np.abs(cl_mean))),
+        "cd_per_design": cd_mean,
+        "cl_per_design": cl_mean,
     }

@@ -88,3 +88,37 @@ def test_compute_overlap_zero_for_disjoint():
 def test_mask_denoise():
     x = jnp.array([0.2, 0.7, 0.5])
     np.testing.assert_array_equal(np.asarray(mask_denoise(x)), [0, 1, 0])
+
+
+def test_separation_objective_gradient_separates():
+    """The separation term's gradient must TRANSLATE overlapping masks
+    apart (VERDICT r2 #1 ablation), unlike the overlap penalty which only
+    shrinks them."""
+    from cindm_tpu.sampling.guidance2d import (
+        mask_centroids,
+        separation_objective,
+    )
+
+    H = W = 32
+    x = np.zeros((2, H, W, 9), np.float32)  # B=1, nb=2
+    # two nearly-coincident square masks (slightly offset centroids — the
+    # round-2 diagnostic showed coalesced designs differ by |Δ|~0.007, not 0)
+    x[0, 12:20, 12:20, -3] = 1.0
+    x[1, 12:20, 14:22, -3] = 1.0
+    xj = jnp.asarray(x)
+    c = np.asarray(mask_centroids(xj, 1, 2))
+    assert c.shape == (1, 2, 2)
+    obj0 = float(separation_objective(xj, 1, 2, scale=8.0))
+    assert obj0 > 0.0  # near-coincident → penalty active
+    g = jax.grad(lambda v: separation_objective(v, 1, 2, scale=8.0))(xj)
+    # descend: centroids must move further apart
+    x1 = xj - 5.0 * g
+    c1 = np.asarray(mask_centroids(x1, 1, 2))
+    d0 = np.linalg.norm(c[0, 0] - c[0, 1])
+    d1 = np.linalg.norm(c1[0, 0] - c1[0, 1])
+    assert d1 > d0
+    # far-apart masks → negligible penalty
+    y = np.zeros((2, H, W, 9), np.float32)
+    y[0, 2:6, 2:6, -3] = 1.0
+    y[1, 26:30, 26:30, -3] = 1.0
+    assert float(separation_objective(jnp.asarray(y), 1, 2, scale=4.0)) < 1e-3

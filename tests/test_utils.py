@@ -66,6 +66,26 @@ def test_metric_batch_shapes():
     assert np.isfinite([drag_min, lift_max, obj_min, frac_max]).all()
 
 
+def test_force_coefficients_units():
+    # A known force on a chord-10 body at U=1 gives C = F / (0.5 * 10).
+    from cindm_tpu.utils.eval2d import chord_lengths, force_coefficients
+
+    poly = ellipse_coords(30, 30, 20, 1.0)  # radius-10 circle → chord 20
+    boundaries = np.asarray(poly)[None, None]  # [B=1, K=1, M, 2]
+    np.testing.assert_allclose(chord_lengths(boundaries), [[20.0]], atol=1e-5)
+    forces = np.zeros((1, 5, 1, 2))
+    forces[..., 0] = 15.0  # drag
+    forces[..., 1] = -7.5  # lift
+    cd, cl = force_coefficients(forces, boundaries)
+    np.testing.assert_allclose(cd, 1.5, atol=1e-5)
+    np.testing.assert_allclose(cl, -0.75, atol=1e-5)
+    # two boundaries normalize by the total chord
+    b2 = np.concatenate([boundaries, boundaries + 30.0], axis=1)
+    f2 = np.concatenate([forces, forces], axis=2)
+    cd2, _ = force_coefficients(f2, b2)
+    np.testing.assert_allclose(cd2, 1.5, atol=1e-5)
+
+
 def test_metric_tracker_ci():
     t = MetricTracker()
     for v in [1.0, 2.0, 3.0]:
