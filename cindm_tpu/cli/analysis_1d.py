@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ULA steps per reverse step above t_switch (L)")
     p.add_argument("--t_switch", type=int, default=400)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None,
+                   help="also write the JSON record to this path")
     return p
 
 
@@ -294,6 +296,12 @@ def main(argv=None):
         record["multibody_strategies"] = multi
 
     print(json.dumps(record))
+    if args.out:
+        import os
+
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
     return record
 
 
