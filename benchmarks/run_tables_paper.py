@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--design_coef", type=float, default=None,
                     help="override the per-row design_coef (sweep winner)")
     ap.add_argument("--consistency_coef", type=float, default=None)
+    ap.add_argument("--flagship_batch", type=int, default=None,
+                    help="batch for the 8-body rows (recurrence-10 at n=8 is "
+                    "~8x the 2-body cost per sample; lets the cheap rows run "
+                    "the full 500 protocol under a wall-clock bound)")
+    ap.add_argument("--only_bodies", type=int, nargs="+", default=None,
+                    help="restrict CinDM rows to these compose_n_bodies")
     args = ap.parse_args()
 
     from cindm_tpu.cli import design_1d, design_1d_baseline
@@ -57,17 +63,22 @@ def main():
             json.dump(rows, f, indent=1)
 
     for n_bodies, n_comp, dc, cc in CINDM_ROWS:
+        if args.only_bodies is not None and n_bodies not in args.only_bodies:
+            continue
         if args.design_coef is not None:
             dc = args.design_coef
         if args.consistency_coef is not None:
             cc = args.consistency_coef
+        bs = args.batch_size
+        if n_bodies == 8 and args.flagship_batch is not None:
+            bs = args.flagship_batch
         t0 = time.time()
         try:
             rec = design_1d.main([
                 "--model_path", args.diffusion_path,
                 "--compose_n_bodies", str(n_bodies),
                 "--n_composed", str(n_comp),
-                "--batch_size", str(args.batch_size),
+                "--batch_size", str(bs),
                 "--sample_steps", "1000",
                 "--design_guidance", "standard-recurrence-10",
                 "--design_coef", str(dc), "--consistency_coef", str(cc),
