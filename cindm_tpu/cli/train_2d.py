@@ -8,6 +8,7 @@ on-device BDIM solver instead of pre-generated LilyPad dumps.
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -100,7 +101,10 @@ def main(argv=None):
     if args.device_data:
         from ..sampling.diffusion2d import p_losses_2d
 
-        draw = ds.make_device_sampler(min(args.batch_size, len(ds)))
+        prep = (os.path.join(args.data_cache, "flatrows_v1.npy")
+                if args.data_cache else None)
+        draw = ds.make_device_sampler(min(args.batch_size, len(ds)),
+                                      prep_cache=prep)
 
         def loss_fn(params, arrays, key):
             kb, kl = jax.random.split(key)

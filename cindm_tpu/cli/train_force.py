@@ -55,16 +55,22 @@ def main(argv=None):
         args.seed, args.n_sims, acfg, BDIMConfig(), cache_dir=args.data_cache
     )
 
-    # build (pressure+boundary → force) pairs from every recorded frame
+    # (pressure+boundary → force) pairs from every recorded frame, gathered
+    # lazily per batch: materializing the full [S·T, 64, 64, 4] tensor is
+    # ~7 GB of strided single-core numpy copies (~15 min on this 1-core
+    # host) for data the loop touches ~2 MB of per step
     S, T = data["fields"].shape[:2]
     press = data["fields"][..., 2]  # [S, T, 62, 62]
     aux = np.concatenate(
-        [data["mask"][:, None, ..., None].repeat(T, 1),
-         data["offset"][:, None].repeat(T, 1)], axis=-1
-    )  # [S, T, 62, 62, 3]
-    inputs = np.concatenate([press[..., None], aux], axis=-1)  # [S, T, 62, 62, 4]
-    inputs = np.pad(inputs.reshape(S * T, 62, 62, 4), ((0, 0), (0, 2), (0, 2), (0, 0)))
-    targets = data["forces"][..., 0, :].reshape(S * T, 2)  # (Fx=drag, Fy=lift)
+        [data["mask"][..., None], data["offset"]], axis=-1
+    )  # [S, 62, 62, 3]
+    targets_all = data["forces"][..., 0, :]  # [S, T, 2] (Fx=drag, Fy=lift)
+
+    def gather_batch(flat_idx: np.ndarray):
+        s, t = flat_idx // T, flat_idx % T
+        x = np.concatenate([press[s, t][..., None], aux[s]], axis=-1)
+        x = np.pad(x, ((0, 0), (0, 2), (0, 2), (0, 0)))  # [B, 64, 64, 4]
+        return x, targets_all[s, t]
 
     model = ForceUnet(dim=args.dim, dim_mults=tuple(args.dim_mults))
     key = jax.random.PRNGKey(args.seed)
@@ -83,7 +89,8 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     for i in range(args.train_num_steps):
         idx = rng.integers(0, S * T, args.batch_size)
-        batch = (jnp.asarray(inputs[idx]), jnp.asarray(targets[idx]))
+        x_np, y_np = gather_batch(idx)
+        batch = (jnp.asarray(x_np), jnp.asarray(y_np))
         state, loss = step(state, batch, jax.random.fold_in(key, i))
         if i % 10 == 0 or i == args.train_num_steps - 1:
             print(f"step {i}: loss {float(loss):.6f}")

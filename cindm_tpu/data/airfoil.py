@@ -282,7 +282,7 @@ class AirfoilDataset:
             if not loop:
                 return
 
-    def make_device_sampler(self, batch_size: int):
+    def make_device_sampler(self, batch_size: int, prep_cache: str = None):
         """Device-resident batching: upload the normalized, padded dataset to
         HBM once and return ``draw(key) -> {'x', 'cond'}`` that gathers a
         random batch entirely on device (jit-able; zero per-step host
@@ -309,9 +309,19 @@ class AirfoilDataset:
         c = self.cfg
         f = self.data["fields"]  # [S, T, 62, 62, 3]
         S, T = f.shape[0], f.shape[1]
-        pad4 = ((0, 0), (0, 0), (0, 2), (0, 2), (0, 0))
-        padded = np.pad(self._norm(f), pad4)  # [S, T, 64, 64, 3]
-        fields = jnp.asarray(padded.reshape(S * T, 64 * 64 * 3))
+        # normalize+pad of a multi-GB dataset is minutes of single-core numpy
+        # per process start — cache the prepared rows so resumes (watchdog
+        # relaunches of long trains) skip it
+        if prep_cache is not None and os.path.exists(prep_cache):
+            rows = np.load(prep_cache, mmap_mode="r")
+            assert rows.shape == (S * T, 64 * 64 * 3), rows.shape
+        else:
+            pad4 = ((0, 0), (0, 0), (0, 2), (0, 2), (0, 0))
+            rows = np.pad(self._norm(f), pad4).reshape(S * T, 64 * 64 * 3)
+            if prep_cache is not None:
+                np.save(prep_cache + ".tmp.npy", rows)
+                os.replace(prep_cache + ".tmp.npy", prep_cache)
+        fields = jnp.asarray(rows)
         aux = np.concatenate(
             [self.data["mask"][..., None], self.data["offset"]], axis=-1
         )
