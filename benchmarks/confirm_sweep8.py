@@ -1,0 +1,39 @@
+"""Confirm the 8-body guidance-sweep winner at batch 64 (paper CI width).
+
+Reads results/designs/sweep8.json, re-runs the lowest-design_obj point at
+batch 64, and records results/designs/8body_T54_winner_b64.json.
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    rows = json.load(open(os.path.join(ROOT, "results/designs/sweep8.json")))
+    best = min((r for r in rows if "design_obj" in r), key=lambda r: r["design_obj"])
+    print("WINNER", json.dumps(best), flush=True)
+
+    from cindm_tpu.cli import design_1d
+
+    rec = design_1d.main([
+        "--model_path", "./results/nbody2_coll", "--milestone", "210000",
+        "--compose_n_bodies", "8", "--n_composed", "2",
+        "--batch_size", "64", "--sample_steps", "1000",
+        "--design_guidance", f"standard-recurrence-{best['recurrence']}",
+        "--design_coef", str(best["design_coef"]),
+        "--consistency_coef", str(best["consistency_coef"]),
+        "--host_chunks", "20",
+    ])
+    rec.update({"design_coef": best["design_coef"],
+                "consistency_coef": best["consistency_coef"],
+                "recurrence": best["recurrence"], "milestone": 210000})
+    out = os.path.join(ROOT, "results/designs/8body_T54_winner_b64.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

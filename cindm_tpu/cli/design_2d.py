@@ -125,6 +125,7 @@ def main(argv=None):
         batch=args.batch_size, num_boundaries=args.num_boundaries,
         design_fn=design_fn, design_guidance=args.design_guidance,
         host_chunks=args.host_chunks, mesh=mesh, init_bias=init_bias,
+        progress=True,
     )
     # post-process: mask → polygons, reject overlapping designs
     out_np = np.asarray(out)

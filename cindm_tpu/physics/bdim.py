@@ -498,6 +498,16 @@ def _update_up(
     p: jax.Array,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """BDIM forcing + projection (`BDIM.pde:108-123`), static body (u_b = 0)."""
+    # Neumann pressure BC at the domain edges: cut the boundary-face link
+    # coefficients. This is the fixed point the reference MG smoother
+    # converges to — `MG.pde:90` d.setBC() copies ghost p from the interior,
+    # so every boundary link's (p_ghost - p_interior) contribution vanishes.
+    # Solving with the links kept (and ghost p ≡ 0, as the masked CG does)
+    # imposes p = 0 Dirichlet edges instead: measured max|Δp| 3.2 on a
+    # p-range [-2.9, 4.7] for the Re=40 cylinder — it squashes the
+    # stagnation/base pressure field and erases the recirculation bubble.
+    cx = cx.at[1, :].set(0.0).at[-1, :].set(0.0)
+    cy = cy.at[:, 1].set(0.0).at[:, -1].set(0.0)
     u = consts.del_x * Rx
     v = consts.del_y * Ry
     u = u + consts.del1_x * normal_grad(dux, consts.wnx_x, consts.wny_x)

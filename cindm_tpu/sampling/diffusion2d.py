@@ -18,6 +18,7 @@ Guidance: the 2D driver's design_fn returns the *gradient* directly
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Callable, Optional
 
 import jax
@@ -226,6 +227,7 @@ def p_sample_loop_2d(
     host_chunks: int = 1,
     mesh=None,
     init_bias: Optional[jax.Array] = None,
+    progress: bool = False,
 ) -> jax.Array:
     """Full ancestral loop (`model/diffusion_2d.py:892-907`).
     Returns [B, nb, H, W, C]. ``host_chunks`` splits the loop into short
@@ -277,6 +279,11 @@ def p_sample_loop_2d(
     for c in range(host_chunks):
         img, key = run_chunk(img, key, ts[c * chunk : (c + 1) * chunk])
         img.block_until_ready()
+        if progress:
+            # stderr liveness marker: lets a log-staleness watchdog tell a
+            # wedged tunnel from a long compile (which is silent).
+            print(f"[sample2d] chunk {c + 1}/{host_chunks}", file=sys.stderr,
+                  flush=True)
     return img.reshape(batch, num_boundaries, H, W, C)
 
 

@@ -20,6 +20,11 @@ _DEFAULT_DIR = os.environ.get("CINDM_COMPILE_CACHE", "/tmp/cindm_tpu_compile_cac
 def enable_compile_cache(cache_dir: str = _DEFAULT_DIR) -> bool:
     """Enable the persistent compilation cache when running on a TPU-like
     backend. Returns True if enabled."""
+    # Probe the tunnel BEFORE jax.devices(): with the relay down, backend
+    # init blocks forever instead of erroring (see utils/preflight.py).
+    from .preflight import require_tpu_reachable
+
+    require_tpu_reachable()
     try:
         platform = jax.devices()[0].platform
     except Exception:
