@@ -38,7 +38,9 @@ def cylinder_run(n: int, d_frac: float = 0.25, n_warmup: int = 300, n_record: in
     D = d_frac * n
     # centre slightly off the grid symmetry line to seed the shedding
     # instability (LilyPad's discrete geometry does the same implicitly)
-    coords = ellipse_coords(n / 3.0 + 1.0, n / 2.0 + 0.37, D / 2.0, 1.0, m=64)
+    # h = FULL height (diameter), matching reference CircleBody(d)
+    # (`Body.pde:397-421`); D/2 here would halve the body.
+    coords = ellipse_coords(n / 3.0 + 1.0, n / 2.0 + 0.37, D, 1.0, m=64)
     coords = jnp.asarray(coords)
     _, forces = simulate_flow(cfg, coords, n_warmup, n_record)
     forces = np.asarray(forces)[:, 0]  # [T, 2]

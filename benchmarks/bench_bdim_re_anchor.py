@@ -44,10 +44,15 @@ def ccw(coords: np.ndarray) -> np.ndarray:
     return coords
 
 
-def run(re: float, n: int, D: float, n_warmup: int, n_record: int, dt: float = 0.4):
+def run(re: float, n: int, D: float, n_warmup: int, n_record: int, dt: float = 0.3):
     cfg = BDIMConfig(n=n, dt=dt, nu=D / re, quick=True, cg_iters=120)
     cx, cy = n / 3.0 + 0.5, n / 2.0 + 0.37
-    coords = ccw(ellipse_coords(cx, cy, D / 2.0, 1.0, m=64))
+    # ellipse_coords h = FULL height (reference CircleBody d = diameter,
+    # `Body.pde:397-421`). Passing D/2 here halved the body: every pre-fix
+    # anchor ran at Re_eff = Re/2 with force normalized by 2x the true
+    # diameter (measured cd_mb 0.99 = half of Cd(Re=20) ~ 2.0 — the solver
+    # was right, the harness geometry was wrong).
+    coords = ccw(ellipse_coords(cx, cy, D, 1.0, m=64))
     (us, vs, ps), fs = simulate_flow(cfg, jnp.asarray(coords), n_warmup, n_record)
     f = np.asarray(fs)[:, 0]
     q = 0.5 * D
@@ -100,9 +105,8 @@ if __name__ == "__main__":
     # Re 40: steady by t*~30 (t* = t·U/D); record once settled
     emit(run(40, 128, 16.0, n_warmup=1600, n_record=400))
     # Re 100: shedding grows from the 0.37-cell off-center seed; from an
-    # impulsive start saturation needs t* ≳ 120-150 (the first anchor run
-    # stopped at t* ≈ 78 with cl_rms ~1e-3 — still in linear growth), so
-    # warm up to t* = 160 and record ~6 periods.
+    # impulsive start saturation needs t* ≳ 120, so warm up to t* = 120
+    # and record ~5 periods (St ≈ 0.166 → period ≈ 96 t-units).
     emit(run(100, 128, 16.0, n_warmup=6400, n_record=1600))
-    # grid refinement at Re 100 (same t* budget, halved dt)
-    emit(run(100, 256, 32.0, n_warmup=12800, n_record=1600, dt=0.25))
+    # grid refinement at Re 100 (same t* budget, dt by CFL at nu = 0.32)
+    emit(run(100, 256, 32.0, n_warmup=15360, n_record=2400, dt=0.25))

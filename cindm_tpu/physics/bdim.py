@@ -49,7 +49,9 @@ import numpy as np
 
 
 def ellipse_coords(x: float, y: float, h: float, aspect: float, m: int = 40) -> np.ndarray:
-    """EllipseBody polygon (`Body.pde:397-413`): height h, width h/aspect."""
+    """EllipseBody polygon (`Body.pde:397-413`): h is the FULL height
+    (= diameter at aspect 1, like CircleBody's d, `Body.pde:419`); the
+    semi-axes are (0.5*h/aspect, 0.5*h)."""
     dx, dy = 0.5 * h / aspect, 0.5 * h
     theta = -2 * np.pi * np.arange(m) / m
     return np.stack([x + dx * np.cos(theta), y + dy * np.sin(theta)], -1)

@@ -6,7 +6,7 @@ divergence). These anchor the solver to closed-form physics:
 1. Impulsively-started cylinder ≈ potential flow at t→0⁺: after the first
    projection the velocity field outside the smoothing kernel must match
    u_r = U(1−R²/r²)cosθ, u_θ = −U(1+R²/r²)sinθ to within the finite-domain
-   blockage error (measured 6.6% rel-L2 at n=96, D/L=1/6). This exercises
+   blockage error (measured 2.6% rel-L2 at n=96, D/L=1/6). This exercises
    the BDIM forcing, the variable-coefficient Poisson projection, and the
    staggered-grid layout end-to-end.
 2. The QUICK+viscous branch (`BDIM.pde` QUICK paths) preserves uniform flow
@@ -53,7 +53,7 @@ def test_impulsive_start_matches_potential_flow():
     n, R = 96, 8.0
     cfg = BDIMConfig(n=n, dt=0.2, cg_iters=200)
     cx, cy = n / 2 + 0.5, n / 2 + 0.37
-    coords = jnp.asarray(ellipse_coords(cx, cy, R, 1.0, m=96))
+    coords = jnp.asarray(ellipse_coords(cx, cy, 2 * R, 1.0, m=96))  # h = diameter
     consts = make_consts(cfg, coords)
     s = init_state(cfg)
     for _ in range(2):
@@ -72,7 +72,7 @@ def test_impulsive_start_matches_potential_flow():
     num = ((u - pu)[mu] ** 2).sum() + ((v - pv)[mv] ** 2).sum()
     den = (pu[mu] ** 2).sum() + (pv[mv] ** 2).sum()
     rel = float(np.sqrt(num / den))
-    assert rel < 0.10, f"potential-flow rel L2 error {rel:.3f}"
+    assert rel < 0.05, f"potential-flow rel L2 error {rel:.3f}"
     div = np.abs(np.asarray(divergence(s.u, s.v))[2:-2, 2:-2]).max()
     assert div < 1e-3
 
@@ -134,32 +134,39 @@ def test_quick_advection_translates_at_flow_speed():
 
 @pytest.mark.slow
 def test_momentum_balance_vs_surface_integral():
-    """Control-volume drag must agree with the steady pressure-drag scale
-    (Re=40 published pressure component ≈ 1.05·½U²D; measured 0.98 → 7%);
-    the surface integral reads ~35% lower from BDIM kernel smearing —
-    assert both so a regression in either integration path is caught."""
+    """Re=40 cylinder at 12.5% blockage: total drag (control volume) must
+    land near the published Cd 1.5-1.6 times the ~1.26x blockage factor
+    (measured 1.85); the surface pressure integral reads ~30% lower (BDIM
+    kernel smear + no friction; measured 1.27). The recirculation bubble
+    must match the published 2.2-2.3 D (measured 2.17). Assert all three
+    so a regression in any integration path is caught."""
     n, D, re = 96, 12.0, 40.0
-    cfg = BDIMConfig(n=n, dt=0.4, nu=D / re, quick=True, cg_iters=100)
+    cfg = BDIMConfig(n=n, dt=0.3, nu=D / re, quick=True, cg_iters=100)
     cx, cy = n / 3.0 + 0.5, n / 2.0 + 0.37
-    coords = ellipse_coords(cx, cy, D / 2, 1.0, m=64)
+    coords = ellipse_coords(cx, cy, D, 1.0, m=64)  # h = diameter
     x, y = coords[:, 0], coords[:, 1]
     if 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
         coords = coords[::-1].copy()
-    (us, vs, ps), fs = simulate_flow(cfg, jnp.asarray(coords), 500, 5)
+    (us, vs, ps), fs = simulate_flow(cfg, jnp.asarray(coords), 700, 5)
     q = 0.5 * D
     cd_surf = float(np.asarray(fs)[-1, 0, 0]) / q
     u_full = jnp.zeros((n + 2, n + 2)).at[1:-1, 1:-1].set(us[-1])
     p_full = jnp.zeros((n + 2, n + 2)).at[1:-1, 1:-1].set(ps[-1])
     cd_mb = float(momentum_balance_drag(u_full, p_full)) / q
-    assert 0.75 < cd_mb < 1.30, cd_mb
-    assert 0.45 < cd_surf < 0.90, cd_surf
+    assert 1.5 < cd_mb < 2.2, cd_mb
+    assert 1.0 < cd_surf < 1.6, cd_surf
     assert cd_surf < cd_mb
+    # recirculation bubble: centerline u < 0 extent behind the body
+    uc = np.asarray(us[-1])[:, int(round(cy)) - 1]
+    neg = np.where(uc[int(np.floor(cx + D / 2)):] < 0)[0]
+    bubble = (neg.max() + 1) / D if len(neg) else 0.0
+    assert 1.7 < bubble < 2.7, bubble
 
 
 @pytest.mark.slow
 def test_quick_cylinder_pressure_signature_and_drag_sign():
     cfg = BDIMConfig(n=64, dt=0.4, nu=16.0 / 1000.0, quick=True, cg_iters=80)
-    coords = ellipse_coords(21.0, 32.4, 8.0, 1.0, m=64)
+    coords = ellipse_coords(21.0, 32.4, 16.0, 1.0, m=64)  # D = 16 (nu = D/Re)
     # orientation-normalize: make the polygon CCW so press_force's
     # (nx, ny) = (ty, -tx) is the INWARD normal and ∮p n dl is the force on
     # the body (LilyPad/reference store the opposite ordering and score
