@@ -17,7 +17,8 @@ divergence). These anchor the solver to closed-form physics:
 The finite-Re cylinder drag/Strouhal anchor against published values runs
 in `benchmarks/bench_bdim_re_anchor.py` (Re 40 steady drag + bubble length,
 Re 100 shedding Cd/St, grid refinement); `benchmarks/bench_bdim_cylinder.py`
-is the SL-branch variant. Results: RESULTS.md "BDIM finite-Re anchor".
+is the SL-branch variant. Results: RESULTS.md "BDIM solver validation" +
+`results/bdim_re_anchor.json`.
 """
 
 import jax.numpy as jnp
