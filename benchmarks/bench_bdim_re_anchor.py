@@ -69,7 +69,16 @@ def run(re: float, n: int, D: float, n_warmup: int, n_record: int, dt: float = 0
     cl_d = cl - cl.mean()
     spec = np.abs(np.fft.rfft(cl_d * np.hanning(len(cl_d))))
     freqs = np.fft.rfftfreq(len(cl_d), d=dt)
-    st = float(freqs[1:][np.argmax(spec[1:])]) * D
+    # parabolic peak interpolation: the raw bin spacing is 1/(n_record·dt)
+    # ≈ 0.002 → ΔSt ≈ 0.03 at D=16, too coarse next to the published 0.166
+    k = int(np.argmax(spec[1:])) + 1
+    if 1 <= k < len(spec) - 1:
+        a, b, c = spec[k - 1], spec[k], spec[k + 1]
+        denom = a - 2 * b + c
+        shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+    else:
+        shift = 0.0
+    st = float((freqs[k] + shift * (freqs[1] - freqs[0]))) * D
 
     # recirculation bubble length: last u<0 cell on the centreline behind body
     u_late = np.asarray(us[-1])  # [n, n] interior, i=x
@@ -92,21 +101,33 @@ def run(re: float, n: int, D: float, n_warmup: int, n_record: int, dt: float = 0
 
 
 if __name__ == "__main__":
-    rows = []
+    out_path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "results", "bdim_re_anchor.json")
+    try:
+        with open(out_path) as f:
+            rows = json.load(f)
+    except (OSError, ValueError):
+        rows = []
+    done = {(r["re"], r["n"]) for r in rows}
 
     def emit(row):
         rows.append(row)
         print(json.dumps(row), flush=True)
-        with open(_os.path.join(_os.path.dirname(_os.path.dirname(
-                _os.path.abspath(__file__))), "results", "bdim_re_anchor.json"),
-                "w") as f:
+        with open(out_path, "w") as f:
             json.dump(rows, f, indent=1)
 
+    def emit_if_new(re, n, **kw):
+        # per-row resume: a killed run keeps its completed rows
+        if (re, n) in done:
+            print(f"skip re={re} n={n} (have row)", flush=True)
+            return
+        emit(run(re, n, **kw))
+
     # Re 40: steady by t*~30 (t* = t·U/D); record once settled
-    emit(run(40, 128, 16.0, n_warmup=1600, n_record=400))
+    emit_if_new(40, 128, D=16.0, n_warmup=1600, n_record=400)
     # Re 100: shedding grows from the 0.37-cell off-center seed; from an
     # impulsive start saturation needs t* ≳ 120, so warm up to t* = 120
     # and record ~5 periods (St ≈ 0.166 → period ≈ 96 t-units).
-    emit(run(100, 128, 16.0, n_warmup=6400, n_record=1600))
+    emit_if_new(100, 128, D=16.0, n_warmup=6400, n_record=1600)
     # grid refinement at Re 100 (same t* budget, dt by CFL at nu = 0.32)
-    emit(run(100, 256, 32.0, n_warmup=15360, n_record=2400, dt=0.25))
+    emit_if_new(100, 256, D=32.0, n_warmup=15360, n_record=2400, dt=0.25)
