@@ -45,14 +45,14 @@ def fmt(x, nd=3):
 def main():
     missing = []
 
-    # ---- 2D designs on the round-3 prior ----
-    print("## 2D designs (round-3 prior: airfoil_long@30k, 1024 sims)\n")
+    # ---- 2D designs on the v2 prior (post Poisson-BC fix) ----
+    print("## 2D designs (v2 prior: airfoil_v2, corrected solver, 1024 sims)\n")
     print("| run | nb | valid | drag_min | lift_max | L/D max | Cd_min | Cl_max |")
     print("|---|---|---|---|---|---|---|---|")
-    for name in ["nb1", "nb2", "nb2_sym", "nb3_sym", "nb2_sym_r2prior"]:
-        r = load(f"results/designs/r3_{name}.json")
+    for name in ["nb1", "nb2_sym", "nb2", "nb3_sym"]:
+        r = load(f"results/designs/r3v2_{name}.json")
         if r is None:
-            missing.append(f"r3_{name}.json")
+            missing.append(f"r3v2_{name}.json")
             continue
         print(
             f"| {name} | {r['num_boundaries']} | {r['valid_designs']}/{r['batch_size']} "
@@ -91,8 +91,9 @@ def main():
     else:
         missing.append("8body_T54_winner_b64.json")
 
-    # ---- finite-Re anchor ----
-    anchor = jlines("/tmp/r3_re_anchor.log")
+    # ---- finite-Re anchor (results/bdim_re_anchor.json is authoritative:
+    # written per-row by bench_bdim_re_anchor.py on the corrected geometry) ----
+    anchor = load("results/bdim_re_anchor.json")
     if anchor:
         print("## Finite-Re cylinder anchor (QUICK+viscous BDIM)\n")
         print("| Re | n | Cd mean | St | bubble/D | target |")
@@ -100,20 +101,19 @@ def main():
         tgt = {40: "Cd 1.5-1.6, Lb/D 2.2-2.3", 100: "Cd 1.32-1.45, St 0.16-0.17"}
         for r in anchor:
             print(
-                f"| {r['re']} | {r['n']} | {r['cd_mean']:.3f} | {r['strouhal']:.3f} "
+                f"| {r['re']} | {r['n']} | {r.get('cd_mb', r['cd_mean']):.3f} "
+                f"| {r['strouhal']:.3f} "
                 f"| {r['bubble_over_D']:.2f} | {tgt.get(r['re'], '')} |"
             )
         print()
-        with open(os.path.join(ROOT, "results", "bdim_re_anchor.json"), "w") as f:
-            json.dump(anchor, f, indent=1)
     else:
-        missing.append("re_anchor (log empty)")
+        missing.append("bdim_re_anchor.json")
 
     # ---- 2-boundary baselines ----
     for m in ["GD", "CEM"]:
-        r = load(f"results/designs/r3_baseline2d_{m}_nb2.json")
+        r = load(f"results/designs/r3v2_baseline2d_{m}_nb2.json")
         if r is None:
-            missing.append(f"r3_baseline2d_{m}_nb2.json")
+            missing.append(f"r3v2_baseline2d_{m}_nb2.json")
         else:
             print(f"2D baseline {m} nb=2: {json.dumps(r)}\n")
 

@@ -20,7 +20,7 @@ export PYTHONUNBUFFERED=1
 export JAX_LOG_COMPILES=1   # compile-start lines count as log progress
 export CINDM_REQUIRE_TPU=1  # fail instantly if the axon relay is down
 
-QUEUE_END=${QUEUE_END:-"2026-08-18 11:20"}  # chip must be free for the driver bench
+QUEUE_END=${QUEUE_END:-"2026-08-18 13:20"}  # chip must be free for the driver bench (session ends ~14:07)
 END_S=$(date -u -d "$QUEUE_END" +%s)
 left() { echo $(( END_S - $(date -u +%s) )); }
 
