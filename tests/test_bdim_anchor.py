@@ -78,13 +78,23 @@ def test_impulsive_start_matches_potential_flow():
     assert div < 1e-3
 
 
+def _steps(cfg, consts, s, k):
+    """k jitted solver steps (one compile; eager per-op dispatch of the
+    ~200-op step graph costs ~2 s/step on this 1-core CPU box)."""
+    import jax
+
+    def body(s, _):
+        return bdim_step(cfg, consts, s), None
+
+    s, _ = jax.jit(lambda s: jax.lax.scan(body, s, None, length=k))(s)
+    return s
+
+
 def test_quick_branch_preserves_uniform_flow():
     cfg = BDIMConfig(n=48, dt=0.5, nu=0.01, quick=True, cg_iters=50)
     coords = jnp.asarray(ellipse_coords(-100.0, -100.0, 5.0, 1.0, m=16))
     consts = make_consts(cfg, coords)
-    s = init_state(cfg)
-    for _ in range(3):
-        s = bdim_step(cfg, consts, s)
+    s = _steps(cfg, consts, init_state(cfg), 3)
     assert float(jnp.max(jnp.abs(s.u[1:-1, 1:-1] - 1.0))) < 1e-5
     assert float(jnp.max(jnp.abs(s.v[1:-1, 1:-1]))) < 1e-5
 
@@ -104,8 +114,7 @@ def test_quick_viscous_decay_matches_closed_form():
         set_bc_v(jnp.zeros((N, N))),
         jnp.zeros((N, N)),
     )
-    for _ in range(steps):
-        s = bdim_step(cfg, consts, s)
+    s = _steps(cfg, consts, s, steps)
     amp = np.asarray(s.u)[N // 2, 1:-1] - 1.0
     a_meas = (amp.max() - amp.min()) / 2
     a_theory = 0.1 * np.exp(-nu * k * k * dt * steps)
@@ -126,8 +135,7 @@ def test_quick_advection_translates_at_flow_speed():
         set_bc_v(jnp.zeros((N, N))),
         jnp.zeros((N, N)),
     )
-    for _ in range(25):
-        s = bdim_step(cfg, consts, s)
+    s = _steps(cfg, consts, s, 25)
     u = np.asarray(s.u)
     i_peak = np.unravel_index(np.argmax(u[1:-1, 1:-1]), (N - 2, N - 2))[0] + 1
     assert abs(i_peak - 30) <= 2, i_peak

@@ -139,6 +139,7 @@ def test_full_model_conversion_structure_and_forward():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow  # builds a real torch model + full flax forward: ~100 s here
 def test_load_reference_checkpoint_pt(tmp_path):
     """Round-trip a reference-style .pt milestone dict through the loader
     (`model/diffusion_1d.py:2635-2647` layout, EMA-prefixed keys)."""
