@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fastinit import zeros_init, zeros_init_thunk
+
 from cindm_tpu.baselines import (
     BackpropConfig,
     CEMConfig,
@@ -26,8 +28,8 @@ from cindm_tpu.baselines import (
 def test_unet_forward_model_shapes():
     m = Unet1DForwardModel(horizon=24, transition_dim=8, dim=16)
     cond = jnp.ones((2, 1, 8)) * 0.5
-    params = m.init(jax.random.PRNGKey(0), cond)
-    out = m.apply(params, cond)
+    params = zeros_init(m, jax.random.PRNGKey(0), cond)
+    out = jax.jit(m.apply)(params, cond)
     assert out.shape == (2, 24, 8)
     assert bool(jnp.all(jnp.isfinite(out)))
 
@@ -101,8 +103,8 @@ def test_lepde_forward_and_loss():
     m = LEPDE(cfg, out_hw=16)
     u0 = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
     static = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
-    params = m.init(jax.random.PRNGKey(2), u0, static, 1)
-    preds = m.apply(params, u0, static, 3)
+    params = zeros_init_thunk(lambda: m.init(jax.random.PRNGKey(2), u0, static, 1))
+    preds = jax.jit(lambda p: m.apply(p, u0, static, 3))(params)
     assert preds.shape == (2, 3, 16, 16, 3)
     targets = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16, 16, 3))
     loss = lepde_loss(m, params, u0, static, targets)
