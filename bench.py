@@ -34,7 +34,18 @@ FLOPS_PER_PAIRWINDOW_FWD = 1.215e8
 def main():
     from cindm_tpu.core import make_schedule
     from cindm_tpu.utils.cache import enable_compile_cache
+    from cindm_tpu.utils.preflight import require_tpu_reachable
 
+    # A dead relay makes the first device call hang FOREVER (no error) —
+    # fail fast with a parseable line instead so the driver sees a crash,
+    # not a wedged process.
+    if not require_tpu_reachable(attempts=10, wait_s=6.0):
+        print(json.dumps({
+            "metric": "pair_window_denoiser_fwds_per_sec", "value": 0.0,
+            "unit": "forwards/s", "vs_baseline": 0.0,
+            "error": "axon relay down: TPU tunnel unreachable on 127.0.0.1:8082",
+        }))
+        raise SystemExit(2)
     enable_compile_cache()
     from cindm_tpu.models import TemporalUnet1D
     from cindm_tpu.sampling import GuidanceSpec, get_design_fn, make_composed_eps_model

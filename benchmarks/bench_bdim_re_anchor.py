@@ -108,7 +108,7 @@ if __name__ == "__main__":
             rows = json.load(f)
     except (OSError, ValueError):
         rows = []
-    done = {(r["re"], r["n"]) for r in rows}
+    done = {(r["re"], r["n"], r["t_end"]) for r in rows}
 
     def emit(row):
         rows.append(row)
@@ -118,8 +118,9 @@ if __name__ == "__main__":
 
     def emit_if_new(re, n, **kw):
         # per-row resume: a killed run keeps its completed rows
-        if (re, n) in done:
-            print(f"skip re={re} n={n} (have row)", flush=True)
+        t_end = (kw["n_warmup"] + kw["n_record"]) * kw.get("dt", 0.3)
+        if (re, n, t_end) in done:
+            print(f"skip re={re} n={n} t_end={t_end} (have row)", flush=True)
             return
         emit(run(re, n, **kw))
 
@@ -131,3 +132,7 @@ if __name__ == "__main__":
     emit_if_new(100, 128, D=16.0, n_warmup=6400, n_record=1600)
     # grid refinement at Re 100 (same t* budget, dt by CFL at nu = 0.32)
     emit_if_new(100, 256, D=32.0, n_warmup=15360, n_record=2400, dt=0.25)
+    if _os.environ.get("CINDM_ANCHOR_SATURATE") == "1":
+        # shedding SATURATION: warm to t* = 300 so cl_rms can be quoted
+        # against the published saturated Cl_rms ~ 0.23, record ~10 periods
+        emit_if_new(100, 128, D=16.0, n_warmup=16000, n_record=3200)
