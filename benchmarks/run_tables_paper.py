@@ -51,7 +51,21 @@ def main():
                     "the full 500 protocol under a wall-clock bound)")
     ap.add_argument("--only_bodies", type=int, nargs="+", default=None,
                     help="restrict CinDM rows to these compose_n_bodies")
+    ap.add_argument("--milestone", type=int, default=None,
+                    help="checkpoint milestone for the diffusion model")
+    ap.add_argument("--flagship_winner", default=None,
+                    help="path to a sweep-winner JSON (8body_T54_winner_b64)"
+                    "; its design_coef/consistency_coef/recurrence override "
+                    "the 8-body rows only (VERDICT r2 #5: tables from the "
+                    "item-2 model at its tuned guidance)")
     args = ap.parse_args()
+
+    flagship = None
+    if args.flagship_winner and os.path.exists(args.flagship_winner):
+        with open(args.flagship_winner) as f:
+            flagship = json.load(f)
+        print("FLAGSHIP OVERRIDE", json.dumps({k: flagship.get(k) for k in
+              ("design_coef", "consistency_coef", "recurrence")}), flush=True)
 
     from cindm_tpu.cli import design_1d, design_1d_baseline
 
@@ -70,20 +84,29 @@ def main():
         if args.consistency_coef is not None:
             cc = args.consistency_coef
         bs = args.batch_size
-        if n_bodies == 8 and args.flagship_batch is not None:
-            bs = args.flagship_batch
+        recurrence = 10
+        if n_bodies == 8:
+            if args.flagship_batch is not None:
+                bs = args.flagship_batch
+            if flagship is not None:
+                dc = flagship.get("design_coef", dc)
+                cc = flagship.get("consistency_coef", cc)
+                recurrence = flagship.get("recurrence", recurrence)
         t0 = time.time()
         try:
-            rec = design_1d.main([
+            argv = [
                 "--model_path", args.diffusion_path,
                 "--compose_n_bodies", str(n_bodies),
                 "--n_composed", str(n_comp),
                 "--batch_size", str(bs),
                 "--sample_steps", "1000",
-                "--design_guidance", "standard-recurrence-10",
+                "--design_guidance", f"standard-recurrence-{recurrence}",
                 "--design_coef", str(dc), "--consistency_coef", str(cc),
                 "--host_chunks", "20",
-            ])
+            ]
+            if args.milestone is not None:
+                argv += ["--milestone", str(args.milestone)]
+            rec = design_1d.main(argv)
             rows.append({"method": "CinDM", "n_bodies": n_bodies,
                          "n_composed": n_comp, "design_coef": dc,
                          "consistency_coef": cc,

@@ -135,6 +135,8 @@ if ! done_rec results/tables_paper.json; then
   wd 3600 /tmp/r3_tables.log \
     python benchmarks/run_tables_paper.py \
       --batch_size 500 --flagship_batch 128 --skip_baselines \
+      --diffusion_path ./results/nbody2_coll --milestone 210000 \
+      --flagship_winner ./results/designs/8body_T54_winner_b64.json \
       --out ./results/tables_paper.json
   status tables_cindm $?
 fi
