@@ -41,6 +41,12 @@ def cylinder_run(n: int, d_frac: float = 0.25, n_warmup: int = 300, n_record: in
     # h = FULL height (diameter), matching reference CircleBody(d)
     # (`Body.pde:397-421`); D/2 here would halve the body.
     coords = ellipse_coords(n / 3.0 + 1.0, n / 2.0 + 0.37, D, 1.0, m=64)
+    # CCW orientation so press_force's (ty, -tx) normal points INTO the
+    # body and the integral is the force ON it (ellipse_coords builds CW);
+    # the reference scores |drag|/|lift| so only interpretability changes.
+    x, y = coords[:, 0], coords[:, 1]
+    if 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+        coords = coords[::-1].copy()
     coords = jnp.asarray(coords)
     _, forces = simulate_flow(cfg, coords, n_warmup, n_record)
     forces = np.asarray(forces)[:, 0]  # [T, 2]
