@@ -1,0 +1,49 @@
+"""Unit tests for the TPU-relay preflight probe (`utils/preflight.py`)."""
+
+import socket
+
+import pytest
+
+from cindm_tpu.utils import preflight
+
+
+def test_noop_when_not_axon(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert preflight.require_tpu_reachable(attempts=1, wait_s=0.0)
+
+
+def test_listening_relay_passes(monkeypatch):
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    try:
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setattr(preflight, "RELAY_PORT", port)
+        assert preflight.require_tpu_reachable(attempts=1, wait_s=0.0)
+    finally:
+        srv.close()
+
+
+def _closed_port() -> int:
+    s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()  # nothing listens here anymore
+    return port
+
+
+def test_dead_relay_warns_by_default(monkeypatch, capsys):
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.delenv("CINDM_REQUIRE_TPU", raising=False)
+    monkeypatch.setattr(preflight, "RELAY_PORT", _closed_port())
+    assert not preflight.require_tpu_reachable(attempts=2, wait_s=0.0)
+    assert "tunnel is down" in capsys.readouterr().err
+
+
+def test_dead_relay_hard_fails_when_required(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("CINDM_REQUIRE_TPU", "1")
+    monkeypatch.setattr(preflight, "RELAY_PORT", _closed_port())
+    with pytest.raises(SystemExit, match="relay not listening"):
+        preflight.require_tpu_reachable(attempts=1, wait_s=0.0)
