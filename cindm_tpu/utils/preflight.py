@@ -20,11 +20,14 @@ import os
 import socket
 import sys
 import time
+from typing import Optional
 
 RELAY_PORT = 8082
 
 
-def axon_relay_listening(port: int = RELAY_PORT, timeout: float = 2.0) -> bool:
+def axon_relay_listening(port: Optional[int] = None, timeout: float = 2.0) -> bool:
+    # read RELAY_PORT at call time (a def-time default would freeze it)
+    port = RELAY_PORT if port is None else port
     s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     s.settimeout(timeout)
     try:
