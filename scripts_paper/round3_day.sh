@@ -163,6 +163,12 @@ for M in GD CEM; do
   rec /tmp/r3_2dbase_"$M".log results/designs/r3v2_baseline2d_"$M"_nb2.json
 done
 
+# ---- 6b. multibody EBM-compose analysis (VERDICT r2 #9; ~25 min) ----
+if ! done_rec results/designs/analysis_multibody.json; then
+  wd 2700 /tmp/r3_multibody.log bash scripts_paper/multibody_analysis.sh
+  status multibody_analysis $?
+fi
+
 # ---- 7. roofline attribution ----
 [ -f /tmp/r3_roofline.done ] || {
   wd 1500 /tmp/r3_roofline.log python benchmarks/bench_roofline.py
