@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "of x_T at staggered streamwise positions (0 = off)")
     p.add_argument("--share_noise", type=lambda s: s == "True", default=True)
     p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--ddim_steps", type=int, default=0,
+                   help="> 0: guided DDIM with this many reverse steps "
+                        "instead of the full-T ancestral loop")
     p.add_argument("--p_min", type=float, default=-1.0)
     p.add_argument("--p_max", type=float, default=1.0)
     p.add_argument("--evaluate", type=lambda s: s == "True", default=True)
@@ -120,13 +123,25 @@ def main(argv=None):
             raise SystemExit("batch_size * num_boundaries must be a "
                              "multiple of --n_devices")
         mesh = make_mesh(args.n_devices, ("data",))
-    out = p_sample_loop_2d(
-        cfg, sched, eps, jax.random.PRNGKey(args.seed),
-        batch=args.batch_size, num_boundaries=args.num_boundaries,
-        design_fn=design_fn, design_guidance=args.design_guidance,
-        host_chunks=args.host_chunks, mesh=mesh, init_bias=init_bias,
-        progress=True,
-    )
+    if args.ddim_steps > 0:
+        # working guided DDIM (the reference's 2D DDIM is unreachable for
+        # design, `model/diffusion_2d.py:909-963`); S < T reverse steps
+        from ..sampling.diffusion2d import ddim_sample_loop_2d
+
+        out = ddim_sample_loop_2d(
+            cfg, sched, eps, jax.random.PRNGKey(args.seed),
+            batch=args.batch_size, num_boundaries=args.num_boundaries,
+            sampling_timesteps=args.ddim_steps, design_fn=design_fn,
+            design_guidance=args.design_guidance, init_bias=init_bias,
+        )
+    else:
+        out = p_sample_loop_2d(
+            cfg, sched, eps, jax.random.PRNGKey(args.seed),
+            batch=args.batch_size, num_boundaries=args.num_boundaries,
+            design_fn=design_fn, design_guidance=args.design_guidance,
+            host_chunks=args.host_chunks, mesh=mesh, init_bias=init_bias,
+            progress=True,
+        )
     # post-process: mask → polygons, reject overlapping designs
     out_np = np.asarray(out)
     if args.dump_raw:
@@ -155,7 +170,7 @@ def main(argv=None):
               "num_boundaries": args.num_boundaries,
               "lambda_overlap": args.lambda_overlap,
               "lambda_separation": args.lambda_separation,
-              "init_sep": args.init_sep}
+              "init_sep": args.init_sep, "ddim_steps": args.ddim_steps}
     if args.evaluate and results:
         # pad polygons to a fixed point count for batching
         M = max(len(p) for polys in results for p in polys)

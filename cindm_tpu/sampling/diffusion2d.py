@@ -298,16 +298,21 @@ def ddim_sample_loop_2d(
     sampling_timesteps: int,
     design_fn: Optional[DesignGradFn] = None,
     design_guidance: str = "standard-alpha",
+    init_bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """A *working* guided DDIM for the 2D stack — the reference's 2D
     ddim_sample has a stale signature and is unreachable for guided design
     (`model/diffusion_2d.py:909-963`, SURVEY.md §7 hard-part 6). Guidance is
-    applied as an x̂0 shift with the same coefficient schedules."""
+    applied as an x̂0 shift with the same coefficient schedules.
+    ``init_bias`` matches p_sample_loop_2d's (added to x_T, e.g. the
+    per-boundary symmetry-breaking bumps)."""
     H = W = cfg.image_size
     C = cfg.channels
     times, times_next = dd.ddim_times(cfg.timesteps, sampling_timesteps)
     key, k0 = jax.random.split(key)
     img = sample_noise(k0, batch, num_boundaries, H, W, C)
+    if init_bias is not None:
+        img = img + init_bias
     Bnb = batch * num_boundaries
     coeff_sched = cfg.coeff_ratio * jnp.flip(sched.betas)
 

@@ -103,3 +103,22 @@ def test_2d_recurrence_guidance_runs():
     )
     assert out.shape == (1, 2, 16, 16, cfg.channels)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_2d_guided_ddim_with_init_bias():
+    """Guided DDIM (CLI --ddim_steps) must run S < T reverse steps, honor
+    init_bias, and stay finite; with zero guidance and the same key its
+    output differs from the biased run (the bias must matter)."""
+    from cindm_tpu.sampling.diffusion2d import ddim_sample_loop_2d
+
+    cfg, model, params, sched = _setup()
+    eps = lambda x, t: model.apply(params, x, t)
+    bias = jnp.zeros((2 * 2, 16, 16, cfg.channels)).at[..., -3].set(0.5)
+    kw = dict(batch=2, num_boundaries=2, sampling_timesteps=5,
+              design_fn=lambda x: 0.01 * x, design_guidance="standard-alpha")
+    out = ddim_sample_loop_2d(cfg, sched, eps, jax.random.PRNGKey(3),
+                              init_bias=bias, **kw)
+    assert out.shape == (2, 2, 16, 16, cfg.channels)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    out0 = ddim_sample_loop_2d(cfg, sched, eps, jax.random.PRNGKey(3), **kw)
+    assert float(jnp.max(jnp.abs(out - out0))) > 1e-4
