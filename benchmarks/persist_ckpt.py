@@ -1,0 +1,53 @@
+"""Snapshot the latest orbax milestone into a git-committable .npz.
+
+Usage:
+    python benchmarks/persist_ckpt.py --results_folder ./results/nbody2_coll \
+        [--milestone N] [--out ./results/nbody2_coll/persisted_m{N}.npz]
+
+Writes ``persisted_m{step}.npz`` ({params, ema_params, step} only — see
+cindm_tpu/utils/persist.py) next to the checkpoints by default. Commit the
+file with ``git add -f`` (results/ is gitignored); every CLI transparently
+loads it on a fresh VM via the CheckpointManager fallback.
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results_folder", required=True)
+    ap.add_argument("--milestone", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--model", default="nbody2",
+                    help="model family, to build the state template: "
+                         "nbody2 (TemporalUnet1D 2-body) only for now")
+    ap.add_argument("--horizon", type=int, default=24)
+    ap.add_argument("--n_bodies", type=int, default=2)
+    ap.add_argument("--Unet_dim", type=int, default=64)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")  # no TPU needed to copy arrays
+    import jax
+    import jax.numpy as jnp
+    from cindm_tpu.models.unet1d import TemporalUnet1D
+    from cindm_tpu.train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
+    from cindm_tpu.utils.persist import save_npz
+
+    model = TemporalUnet1D(horizon=args.horizon, transition_dim=args.n_bodies * 4,
+                           dim=args.Unet_dim, attention=True)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, args.horizon, args.n_bodies * 4)),
+                        jnp.zeros(1, jnp.int32))
+    template = init_train_state(params, make_optimizer(TrainConfig()))
+    mngr = CheckpointManager(args.results_folder)
+    state = mngr.load(args.milestone, template=template)
+    step = int(state["step"])
+    out = args.out or os.path.join(args.results_folder, f"persisted_m{step}.npz")
+    save_npz(state, out)
+    print(f"persisted step {step} -> {out} "
+          f"({os.path.getsize(out) / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,8 +32,19 @@ class CheckpointManager:
     def load(self, milestone: Optional[int] = None, template: Any = None) -> Any:
         """Restore the given milestone (latest if None). ``template`` is an
         abstract pytree with the right structure/shapes (e.g. a freshly
-        initialized state)."""
+        initialized state).
+
+        Falls back to a git-committed ``persisted_m*.npz`` snapshot
+        (params/ema_params/step only; see utils/persist.py) when the exact
+        orbax milestone is absent — checkpoints survive VM wipes that way.
+        """
         step = milestone if milestone is not None else self._mngr.latest_step()
+        if step is None or (milestone is not None and step not in self.all_milestones()):
+            from ..utils.persist import find_persisted, load_npz
+
+            npz = find_persisted(self.directory, milestone)
+            if npz is not None and template is not None:
+                return load_npz(npz, template)
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
         if template is not None:
@@ -41,5 +52,15 @@ class CheckpointManager:
             return self._mngr.restore(step, args=ocp.args.StandardRestore(target))
         return self._mngr.restore(step)
 
+    def all_milestones(self):
+        return list(self._mngr.all_steps())
+
     def latest_milestone(self) -> Optional[int]:
-        return self._mngr.latest_step()
+        step = self._mngr.latest_step()
+        if step is None:
+            from ..utils.persist import _PERSIST_RE, find_persisted
+
+            npz = find_persisted(self.directory)
+            if npz is not None:
+                return int(_PERSIST_RE.search(npz).group(1))
+        return step
