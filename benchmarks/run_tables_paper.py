@@ -51,6 +51,8 @@ def main():
                     "the full 500 protocol under a wall-clock bound)")
     ap.add_argument("--only_bodies", type=int, nargs="+", default=None,
                     help="restrict CinDM rows to these compose_n_bodies")
+    ap.add_argument("--only_composed", type=int, nargs="+", default=None,
+                    help="restrict CinDM rows to these n_composed values")
     ap.add_argument("--milestone", type=int, default=None,
                     help="checkpoint milestone for the diffusion model")
     ap.add_argument("--flagship_winner", default=None,
@@ -78,6 +80,8 @@ def main():
 
     for n_bodies, n_comp, dc, cc in CINDM_ROWS:
         if args.only_bodies is not None and n_bodies not in args.only_bodies:
+            continue
+        if args.only_composed is not None and n_comp not in args.only_composed:
             continue
         if args.design_coef is not None:
             dc = args.design_coef
