@@ -27,8 +27,13 @@ def main():
     ap.add_argument("--Unet_dim", type=int, default=64)
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")  # no TPU needed to copy arrays
+    # No TPU needed to copy arrays — and a second TPU process can wedge the
+    # tunnel while a trainer runs. sitecustomize registers the axon platform
+    # at interpreter startup, so env vars are not enough (verify SKILL.md):
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from cindm_tpu.models.unet1d import TemporalUnet1D
     from cindm_tpu.train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
