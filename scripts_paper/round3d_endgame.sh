@@ -22,12 +22,13 @@ MILESTONE=$(ls results/nbody2_coll 2>/dev/null | grep -E '^[0-9]+$' | sort -n | 
 [ -n "$MILESTONE" ] || { echo "FATAL: no milestone in results/nbody2_coll"; exit 1; }
 echo "=== using milestone $MILESTONE"
 
-# ---- 1. persist the checkpoint (CPU) so it survives the VM wipe ----
+# ---- 1. persist the checkpoint (CPU-only process) so it survives the ----
+# ---- VM wipe; runs concurrently with the TPU sweep below             ----
 if [ ! -f "results/nbody2_coll/persisted_m${MILESTONE}.npz" ]; then
-  timeout 600 python benchmarks/persist_ckpt.py \
+  timeout 600 nice -n 10 python benchmarks/persist_ckpt.py \
     --results_folder ./results/nbody2_coll --milestone "$MILESTONE" \
-    > /tmp/r3d_persist.log 2>&1
-  status persist $?
+    > /tmp/r3d_persist.log 2>&1 &
+  PERSIST_PID=$!
 fi
 
 # ---- 2. 8-body guidance sweep (batch 32, recurrence 10: one compile) ----
@@ -56,4 +57,5 @@ if [ -s results/designs/sweep8.json ] && \
   status sweep8_confirm $?
 fi
 
+[ -n "${PERSIST_PID:-}" ] && { wait "$PERSIST_PID"; status persist $?; }
 echo R3D_DONE @ $(date -u +%H:%M:%S)
