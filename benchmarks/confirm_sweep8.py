@@ -20,6 +20,9 @@ def main():
     args = ap.parse_args()
 
     rows = json.load(open(os.path.join(ROOT, "results/designs/sweep8.json")))
+    norm_path = os.path.join(ROOT, "results/designs/sweep8_norm.json")
+    if os.path.exists(norm_path):  # per-body-normalization ablation points
+        rows = rows + json.load(open(norm_path))
     best = min((r for r in rows if "design_obj" in r), key=lambda r: r["design_obj"])
     print("WINNER", json.dumps(best), flush=True)
 
@@ -36,6 +39,8 @@ def main():
     ]
     if args.milestone is not None:
         argv += ["--milestone", str(args.milestone)]
+    if best.get("normalize_grad_per_body"):
+        argv += ["--normalize_grad_per_body"]
     rec = design_1d.main(argv)
     rec.update({"design_coef": best["design_coef"],
                 "consistency_coef": best["consistency_coef"],

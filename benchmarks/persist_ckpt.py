@@ -25,6 +25,13 @@ def main():
     ap.add_argument("--horizon", type=int, default=24)
     ap.add_argument("--n_bodies", type=int, default=2)
     ap.add_argument("--Unet_dim", type=int, default=64)
+    ap.add_argument("--ema_only", type=lambda s: s.lower() == "true", default=False,
+                    help="drop the raw params copy (restored from ema_params "
+                         "on load) — halves the snapshot")
+    ap.add_argument("--dtype", default=None,
+                    help="down-cast floating leaves, e.g. bfloat16 (halves "
+                         "the snapshot again; load casts back to the "
+                         "template dtype)")
     args = ap.parse_args()
 
     # No TPU needed to copy arrays — and a second TPU process can wedge the
@@ -49,7 +56,12 @@ def main():
     state = mngr.load(args.milestone, template=template)
     step = int(state["step"])
     out = args.out or os.path.join(args.results_folder, f"persisted_m{step}.npz")
-    save_npz(state, out)
+    dtype = None
+    if args.dtype is not None:
+        import ml_dtypes  # bfloat16 numpy dtype (ships with jax)
+
+        dtype = getattr(ml_dtypes, args.dtype, None) or args.dtype
+    save_npz(state, out, ema_only=args.ema_only, dtype=dtype)
     print(f"persisted step {step} -> {out} "
           f"({os.path.getsize(out) / 1e6:.1f} MB)")
 

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--consistency_coefs", type=float, nargs="+",
                     default=[0.2, 0.6])
     ap.add_argument("--recurrences", type=int, nargs="+", default=[10, 20])
+    ap.add_argument("--normalize_grad_per_body", action="store_true",
+                    help="run the per-body gradient-normalization ablation "
+                         "(design_1d --normalize_grad_per_body)")
     args = ap.parse_args()
 
     from cindm_tpu.cli import design_1d
@@ -56,6 +59,8 @@ def main():
         ]
         if args.milestone is not None:
             argv += ["--milestone", str(args.milestone)]
+        if args.normalize_grad_per_body:
+            argv += ["--normalize_grad_per_body"]
         try:
             rec = design_1d.main(argv)
             rows.append({"design_coef": dc, "consistency_coef": cc,

@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--design_coef", type=float, default=0.2)  # scripts_paper/1D/cindm.sh
     p.add_argument("--consistency_coef", type=float, default=0.2)
     p.add_argument("--design_fn_mode", default="L2")
+    p.add_argument("--normalize_grad_per_body", action="store_true",
+                   help="scale the design objective by 2/compose_n_bodies so "
+                        "the per-body guidance gradient accumulated across "
+                        "overlapping pair windows matches the 2-body tuning "
+                        "(RESULTS.md round-3 hypothesis)")
     p.add_argument("--compose_n_bodies", type=int, default=2)
     p.add_argument("--n_composed", type=int, default=0)
     p.add_argument("--compose_mode", default="mean-inside")
@@ -92,9 +97,13 @@ def main(argv=None):
     sched = make_schedule(args.timesteps)
 
     target = jnp.asarray(args.target)
+    norm_factor = (
+        2.0 / args.compose_n_bodies if args.normalize_grad_per_body else 1.0
+    )
     design_fn = get_design_fn(
         target, last_n_step=1, coef=args.design_coef,
         time_consistency_coef=args.consistency_coef, design_fn_mode=args.design_fn_mode,
+        norm_factor=norm_factor,
     )
     eval_fn = get_eval_fn(target, last_n_step=1)
     eval_each = get_eval_fn_per_sample(target, last_n_step=1)
@@ -150,6 +159,7 @@ def main(argv=None):
         "design_guidance": args.design_guidance,
         "n_composed": args.n_composed,
         "compose_n_bodies": args.compose_n_bodies,
+        "normalize_grad_per_body": bool(args.normalize_grad_per_body),
     }
     print(json.dumps(record))
     return record

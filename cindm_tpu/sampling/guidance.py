@@ -29,8 +29,18 @@ def get_design_fn(
     coef: float = 100.0,
     time_consistency_coef: float = 0.0,
     design_fn_mode: str = "L2",
+    norm_factor: float = 1.0,
 ) -> Callable[[jax.Array], jax.Array]:
-    """Point-attraction objective (`inverse_design_diffusion_1d.py:211-229`)."""
+    """Point-attraction objective (`inverse_design_diffusion_1d.py:211-229`).
+
+    ``norm_factor`` rescales the whole objective (both the point-attraction
+    and time-consistency terms). In composed multi-body sampling each body's
+    state receives gradient from every overlapping pair window, so the
+    effective per-body guidance magnitude grows with n_bodies (measured ~4×
+    from n=2 to n=8, RESULTS.md round-3); passing ``2 / n_bodies`` normalizes
+    the composed gradient back to the 2-body tuning the paper coefficients
+    were chosen for.
+    """
     assert pos_target.ndim == 1
 
     def point_objective(pos: jax.Array) -> jax.Array:
@@ -51,7 +61,7 @@ def get_design_fn(
                 jnp.sum(jnp.mean(jnp.sum(jnp.square(dv), axis=(-1, -2)), axis=-1))
                 * time_consistency_coef
             )
-        return loss_total
+        return loss_total * norm_factor
 
     return point_objective
 

@@ -16,6 +16,36 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _seed_schedule_counts(state: Any) -> Any:
+    """Align LR-schedule counters with the restored global step.
+
+    npz snapshots carry no opt_state, so after an npz resume the fresh
+    ``ScaleByScheduleState.count`` would restart the reference
+    StepLR(600k, 40k) schedule from 0 — a resumed >600k run would silently
+    train at full LR. Adam moments stay fresh (their count=0 warm-up is the
+    correct behavior for zeroed moments).
+    """
+    import jax.numpy as jnp
+    import optax
+
+    if not isinstance(state, dict) or "opt_state" not in state or "step" not in state:
+        return state
+    step = state["step"]
+
+    def fix(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return s._replace(count=jnp.asarray(step, s.count.dtype))
+        return s
+
+    state = dict(state)
+    state["opt_state"] = jax.tree.map(
+        fix,
+        state["opt_state"],
+        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState),
+    )
+    return state
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: Optional[int] = None):
         self.directory = os.path.abspath(directory)
@@ -39,14 +69,23 @@ class CheckpointManager:
         orbax milestone is absent — checkpoints survive VM wipes that way.
         """
         step = milestone if milestone is not None else self._mngr.latest_step()
-        if step is None or (milestone is not None and step not in self.all_milestones()):
+        have_orbax = step is not None and (
+            milestone is None or step in self.all_milestones()
+        )
+        if not have_orbax:
             from ..utils.persist import find_persisted, load_npz
 
             npz = find_persisted(self.directory, milestone)
             if npz is not None and template is not None:
-                return load_npz(npz, template)
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+                return _seed_schedule_counts(load_npz(npz, template))
+            want = "latest" if milestone is None else f"milestone {milestone}"
+            hint = (
+                f"; a persisted snapshot exists ({npz}) but restoring it "
+                f"requires template=" if npz is not None else ""
+            )
+            raise FileNotFoundError(
+                f"no orbax checkpoint for {want} in {self.directory}{hint}"
+            )
         if template is not None:
             target = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
             return self._mngr.restore(step, args=ocp.args.StandardRestore(target))

@@ -21,6 +21,7 @@ up a committed snapshot on a fresh VM.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 from typing import Any, Optional
@@ -29,6 +30,7 @@ import jax
 import numpy as np
 
 _PERSIST_RE = re.compile(r"persisted_m(\d+)\.npz$")
+_OVERRIDES_KEY = "__dtype_overrides__"
 
 
 def _flat_with_keys(tree: Any):
@@ -36,11 +38,35 @@ def _flat_with_keys(tree: Any):
     return [(jax.tree_util.keystr(kp), v) for kp, v in flat], treedef
 
 
-def save_npz(state: Any, path: str) -> str:
-    """Write {params, ema_params, step} of ``state`` to ``path`` (.npz)."""
-    sub = {k: state[k] for k in ("params", "ema_params", "step") if k in state}
+def save_npz(
+    state: Any, path: str, ema_only: bool = False, dtype: Any = None
+) -> str:
+    """Write the inference-critical subtree of ``state`` to ``path`` (.npz).
+
+    ``ema_only`` drops the raw ``params`` copy (``load_npz`` restores
+    ``params`` from ``ema_params`` in that case) and ``dtype`` down-casts
+    floating leaves (e.g. ``"bfloat16"``) — together they shrink the
+    flagship snapshot ≈4× to fit a one-latest-snapshot-per-model git policy
+    (round-3 advice: 148 MB blobs per milestone bloat history and exceed
+    GitHub's 100 MB push limit).
+    """
+    keys = ("ema_params", "step") if ema_only else ("params", "ema_params", "step")
+    sub = {k: state[k] for k in keys if k in state}
     flat, _ = _flat_with_keys(sub)
-    arrs = {k: np.asarray(v) for k, v in flat}
+    arrs = {}
+    overrides = {}  # npz can't represent ml_dtypes (bf16 loads back as void)
+    for k, v in flat:
+        a = np.asarray(v)
+        if dtype is not None and np.issubdtype(a.dtype, np.floating):
+            a = a.astype(dtype)
+        if a.dtype.name == "bfloat16":
+            overrides[k] = "bfloat16"
+            a = a.view(np.uint16)
+        arrs[k] = a
+    if overrides:
+        arrs[_OVERRIDES_KEY] = np.frombuffer(
+            json.dumps(overrides).encode(), np.uint8
+        )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **arrs)
@@ -51,25 +77,63 @@ def save_npz(state: Any, path: str) -> str:
 def load_npz(path: str, template: Any) -> Any:
     """Restore a snapshot into ``template`` (a full fresh TrainState).
 
-    Leaves present in the file (params/ema_params/step) are replaced; all
-    others (opt_state) keep the template's freshly initialized values.
+    Leaves present in the file (params/ema_params/step) are replaced — cast
+    to the template leaf's dtype — and all others (opt_state) keep the
+    template's freshly initialized values. For EMA-only snapshots (see
+    ``save_npz(ema_only=True)``) the ``params`` subtree is filled from the
+    file's ``ema_params`` arrays.
+
+    Every loaded array's shape is validated against the template leaf, and
+    every file key must be consumed; a template built with the wrong model
+    flags (dim/horizon mismatch) raises here with the offending key-paths
+    instead of failing deep inside jit or silently mixing loaded and fresh
+    params.
     """
     with np.load(path) as data:
         keys = set(data.files)
+        overrides = {}
+        if _OVERRIDES_KEY in keys:
+            keys.discard(_OVERRIDES_KEY)
+            overrides = json.loads(bytes(data[_OVERRIDES_KEY]).decode())
         flat, treedef = jax.tree_util.tree_flatten_with_path(template)
         leaves = []
-        hit = 0
+        used: set = set()
+        mismatched = []
         for kp, v in flat:
             k = jax.tree_util.keystr(kp)
-            if k in keys:
-                leaves.append(jax.numpy.asarray(data[k]))
-                hit += 1
-            else:
+            src = k if k in keys else None
+            if src is None and k.startswith("['params']"):
+                alt = "['ema_params']" + k[len("['params']"):]
+                if alt in keys:
+                    src = alt  # EMA-only snapshot: params <- ema_params
+            if src is None:
                 leaves.append(v)
-    if hit == 0:
+                continue
+            arr = data[src]
+            if overrides.get(src) == "bfloat16":
+                import ml_dtypes
+
+                arr = arr.view(ml_dtypes.bfloat16)
+            used.add(src)
+            tshape = tuple(np.shape(v))
+            if tuple(arr.shape) != tshape:
+                mismatched.append(f"{k}: file {tuple(arr.shape)} vs template {tshape}")
+                leaves.append(v)
+                continue
+            tdtype = getattr(v, "dtype", arr.dtype)
+            leaves.append(jax.numpy.asarray(arr, dtype=tdtype))
+    unused = keys - used
+    if not used:
         raise ValueError(
             f"{path}: no key-path overlap with the provided template "
             f"(file keys like {sorted(keys)[:3]})"
+        )
+    if mismatched or unused:
+        raise ValueError(
+            f"{path}: snapshot does not match the state template "
+            f"(wrong --Unet_dim/--horizon flags?). "
+            f"shape mismatches: {mismatched[:5] or 'none'}; "
+            f"unconsumed file keys: {sorted(unused)[:5] or 'none'}"
         )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

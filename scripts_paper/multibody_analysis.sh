@@ -15,8 +15,16 @@ if [ ! -d results/nbody1_uncond/20000 ]; then  # idempotent under queue relaunch
     --results_folder ./results/nbody1_uncond
 fi
 
+# round-4: the surviving/retrained prior lives in nbody2_coll (nbody2_paper
+# was lost in the round-3 VM wipe)
 timeout 1800 python -m cindm_tpu.cli.analysis_1d \
-  --model_path ./results/nbody2_paper --compose_multibodies 4 \
+  --model_path ./results/nbody2_coll --compose_multibodies 4 \
   --uncond_model_path ./results/nbody1_uncond \
   --batch_size 16 --sample_steps 250 --n_sims 16 \
   --out results/designs/analysis_multibody.json
+
+timeout 1800 python -m cindm_tpu.cli.analysis_1d \
+  --model_path ./results/nbody2_coll --compose_multibodies 8 \
+  --uncond_model_path ./results/nbody1_uncond \
+  --batch_size 16 --sample_steps 250 --n_sims 16 \
+  --out results/designs/analysis_multibody8.json

@@ -70,3 +70,77 @@ def test_find_persisted_picks_newest(tmp_path):
     assert find_persisted(str(tmp_path)).endswith("persisted_m20000.npz")
     assert find_persisted(str(tmp_path), 3000).endswith("persisted_m3000.npz")
     assert find_persisted(str(tmp_path), 999) is None
+
+
+def test_ema_only_bf16_snapshot_restores_params_from_ema(tmp_path):
+    import ml_dtypes
+
+    state = _tiny_state(seed=2)
+    state["ema_params"] = jax.tree.map(lambda x: x + 0.5, state["params"])
+    state["step"] = jnp.asarray(200000)
+    p = save_npz(state, str(tmp_path / "persisted_m200000.npz"),
+                 ema_only=True, dtype=ml_dtypes.bfloat16)
+    with np.load(p) as data:
+        assert not any(k.startswith("['params']") for k in data.files)
+        fkeys = [k for k in data.files if "kernel" in k]
+        assert all(data[k].dtype == np.uint16 for k in fkeys)  # bf16 stored as u16 view
+
+    template = _tiny_state(seed=0, fill=0.0)
+    restored = load_npz(p, template)
+    # params filled from the EMA arrays, cast back to the template dtype
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["dense"]["kernel"]),
+        np.asarray(state["ema_params"]["dense"]["kernel"], np.float32),
+        rtol=1e-2)
+    assert restored["params"]["dense"]["kernel"].dtype == jnp.float32
+    assert int(restored["step"]) == 200000
+
+
+def test_load_npz_rejects_shape_mismatch(tmp_path):
+    state = _tiny_state(seed=1)
+    p = save_npz(state, str(tmp_path / "persisted_m1.npz"))
+    bad = {"dense": {"kernel": jnp.zeros((4, 5)), "bias": jnp.zeros(3)}}
+    template = init_train_state(bad, make_optimizer(TrainConfig()))
+    with pytest.raises(ValueError, match="kernel"):
+        load_npz(p, template)
+
+
+def test_load_npz_rejects_unconsumed_keys(tmp_path):
+    state = _tiny_state(seed=1)
+    state["params"]["extra"] = {"w": jnp.zeros(4)}
+    state["ema_params"]["extra"] = {"w": jnp.zeros(4)}
+    p = save_npz(state, str(tmp_path / "persisted_m1.npz"))
+    template = _tiny_state(seed=0, fill=0.0)  # lacks the 'extra' subtree
+    with pytest.raises(ValueError, match="unconsumed"):
+        load_npz(p, template)
+
+
+def test_manager_explicit_missing_milestone_raises(tmp_path):
+    d = str(tmp_path / "ckpts")
+    os.makedirs(d)
+    s = _tiny_state()
+    s["step"] = jnp.asarray(5000)
+    save_npz(s, os.path.join(d, "persisted_m5000.npz"))
+    mngr = CheckpointManager(d)
+    template = _tiny_state(seed=0, fill=0.0)
+    with pytest.raises(FileNotFoundError, match="milestone 7777"):
+        mngr.load(7777, template=template)
+    # template=None with only an npz present mentions the snapshot
+    with pytest.raises(FileNotFoundError, match="persisted_m5000"):
+        mngr.load()
+
+
+def test_npz_resume_seeds_schedule_count(tmp_path):
+    import optax
+
+    d = str(tmp_path / "ckpts")
+    os.makedirs(d)
+    s = _tiny_state()
+    s["step"] = jnp.asarray(650000)
+    save_npz(s, os.path.join(d, "persisted_m650000.npz"))
+    restored = CheckpointManager(d).load(template=_tiny_state(fill=0.0))
+    counts = [l.count for l in jax.tree.leaves(
+        restored["opt_state"],
+        is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState))
+        if isinstance(l, optax.ScaleByScheduleState)]
+    assert counts and all(int(c) == 650000 for c in counts)

@@ -132,3 +132,18 @@ def test_host_chunks_identical_numerics():
         SCHED, perfect_eps_model, shape, jax.random.PRNGKey(7), host_chunks=4
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_design_fn_norm_factor_scales_gradient():
+    # per-body normalization ablation (VERDICT r3 #3): norm_factor rescales
+    # the whole objective, hence the guidance gradient, linearly
+    import jax
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 5, 8))
+    f1 = get_design_fn(jnp.array([0.5, 0.5]), last_n_step=1, coef=0.2,
+                       time_consistency_coef=0.2)
+    f4 = get_design_fn(jnp.array([0.5, 0.5]), last_n_step=1, coef=0.2,
+                       time_consistency_coef=0.2, norm_factor=0.25)
+    g1 = jax.grad(f1)(x)
+    g4 = jax.grad(f4)(x)
+    assert jnp.allclose(g4, 0.25 * g1, rtol=1e-5)
