@@ -164,7 +164,24 @@ def main():
         "sum_of_parts_ms": round(sum(r["ms_per_fwd_total"] for r in rows), 3),
     }
     print(json.dumps(whole), flush=True)
-    out = {"parts": rows, "whole": whole}
+
+    # bf16 body for reference (RESULTS.md round-2: no uplift expected — f32
+    # matmuls already ride the bf16 MXU path; this documents whether the
+    # BYTES side moves, which would point at activation traffic)
+    from cindm_tpu.ops import bf16_eps_model
+
+    eps16 = bf16_eps_model(model.apply, params)
+    dt16, fl16, by16 = timed(lambda x, t: eps16(x, t), x, t)
+    whole16 = {
+        "class": "WHOLE TemporalUnet1D fwd (bf16 body)", "batch": B,
+        "ms_per_fwd": round(dt16 * 1e3, 3),
+        "gflops": round(fl16 / 1e9, 2),
+        "mb_accessed": round(by16 / 1e6, 1),
+        "mfu": round(fl / dt16 / V5E_PEAK_FLOPS, 4),  # f32-equivalent FLOPs
+        "hbm_util": round(by16 / dt16 / V5E_HBM_BPS, 4),
+    }
+    print(json.dumps(whole16), flush=True)
+    out = {"parts": rows, "whole": whole, "whole_bf16": whole16}
     with open("results/roofline.json", "w") as f:
         json.dump(out, f, indent=1)
 

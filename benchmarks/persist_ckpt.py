@@ -20,8 +20,10 @@ def main():
     ap.add_argument("--milestone", type=int, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--model", default="nbody2",
+                    choices=["nbody2", "unet2d", "force"],
                     help="model family, to build the state template: "
-                         "nbody2 (TemporalUnet1D 2-body) only for now")
+                         "nbody2 (TemporalUnet1D), unet2d (airfoil "
+                         "diffusion Unet2D, 21ch), force (ForceUnet)")
     ap.add_argument("--horizon", type=int, default=24)
     ap.add_argument("--n_bodies", type=int, default=2)
     ap.add_argument("--Unet_dim", type=int, default=64)
@@ -42,15 +44,34 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from cindm_tpu.models.unet1d import TemporalUnet1D
     from cindm_tpu.train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
     from cindm_tpu.utils.persist import save_npz
 
-    model = TemporalUnet1D(horizon=args.horizon, transition_dim=args.n_bodies * 4,
-                           dim=args.Unet_dim, attention=True)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, args.horizon, args.n_bodies * 4)),
-                        jnp.zeros(1, jnp.int32))
+    if args.model == "nbody2":
+        from cindm_tpu.models.unet1d import TemporalUnet1D
+
+        model = TemporalUnet1D(horizon=args.horizon,
+                               transition_dim=args.n_bodies * 4,
+                               dim=args.Unet_dim, attention=True)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, args.horizon, args.n_bodies * 4)),
+                            jnp.zeros(1, jnp.int32))
+    elif args.model == "unet2d":
+        from cindm_tpu.models.unet2d import Unet2D
+        from cindm_tpu.sampling import Diffusion2DConfig
+
+        cfg = Diffusion2DConfig()
+        model = Unet2D(dim=args.Unet_dim, dim_mults=(1, 2),
+                       channels=cfg.channels)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, cfg.channels)),
+                            jnp.zeros(1, jnp.int32))
+    else:  # force
+        from cindm_tpu.models.unet2d import ForceUnet
+
+        model = ForceUnet(dim=args.Unet_dim, dim_mults=(1, 2, 4, 8))
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 4)))
     template = init_train_state(params, make_optimizer(TrainConfig()))
     mngr = CheckpointManager(args.results_folder)
     state = mngr.load(args.milestone, template=template)

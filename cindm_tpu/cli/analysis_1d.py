@@ -231,8 +231,25 @@ def main(argv=None):
         }
         gt_n, cond_n = nb["x"], nb.get("cond")
 
-        def score_n(pred):
-            err = jnp.abs(pred - gt_n[:, : pred.shape[1]])
+        # The reference analyses run CONDITIONED forecasts and score them
+        # against dataset ground truth (`inference_1d_composing_multibodies.py
+        # :339-357`). With a conditioned_steps==0 prior, the equivalent
+        # grounding is q-sample inpainting of the first ground-truth frame
+        # (`model/diffusion_1d.py:1715-1718`); the scored region is the
+        # forecast frames after the inpainted/conditioned ones.
+        cs = args.conditioned_steps
+        # model-side conditioning length vs gt-side forecast offset: with
+        # cs>0 the dataset's gt_n ("x") is the y-window (forecast frames
+        # only, cond separate); with cs==0 gt_n is the full horizon window
+        # whose frame 0 we inpaint, so scoring starts at frame 1.
+        k_cond = cs if cs > 0 else 1
+        fc_start = 0 if cs > 0 else 1
+        cond_frames = cond_n if cs > 0 else gt_n[:, :1]
+
+        def score_n(pred_forecast):
+            """pred_forecast frames align with gt_n[fc_start:]."""
+            L = min(pred_forecast.shape[1], gt_n.shape[1] - fc_start)
+            err = jnp.abs(pred_forecast[:, :L] - gt_n[:, fc_start : fc_start + L])
             return {
                 "mae": float(jnp.mean(err)),
                 "rmse": float(jnp.sqrt(jnp.mean(err**2))),
@@ -242,11 +259,14 @@ def main(argv=None):
         pairwise = sample(
             dcfg, sched, eps, jax.random.PRNGKey(args.seed + 5),
             args.batch_size, N * 4,
-            cond=cond_n if args.conditioned_steps > 0 else None,
+            cond=cond_frames,
             compose_n_bodies=N, n_composed=0,
             sample_steps=args.timesteps,
         )
-        multi["pairwise_compose"] = score_n(pairwise[:, args.conditioned_steps:])
+        # composed cond-0 sampling returns the full horizon incl. the
+        # inpainted frames; conditioned sampling returns the rollout only
+        pairwise_fc = pairwise[:, 1:] if cs == 0 else pairwise
+        multi["pairwise_compose"] = score_n(pairwise_fc)
 
         if args.uncond_model_path:
             model_u = TemporalUnet1D(
@@ -265,33 +285,36 @@ def main(argv=None):
             ceps = make_classifier_free_compose_eps(
                 eps, eps_u, N, coefficient=args.cf_coefficient
             )
-            cond_in = (cond_n if args.conditioned_steps > 0
-                       else jnp.zeros((args.batch_size, 0, N * 4)))
+            # the model horizon is fixed: inpainted/cond frames + forecast
+            # frames must sum to `horizon` for the TemporalUnet1D input
+            fc_steps = horizon - k_cond
             ula = sample_compose_multibodies(
-                sched, ceps, cond_in, args.rollout_steps,
+                sched, ceps, cond_frames, fc_steps,
                 jax.random.PRNGKey(args.seed + 6),
                 langevin_steps=args.langevin_steps, t_switch=args.t_switch,
-                conditioned_steps=args.conditioned_steps,
+                conditioned_steps=k_cond,
             )
             multi["cf_compose_ULA"] = score_n(ula)
 
             uhmc = sample_compose_multibodies_uhmc(
-                sched, ceps, cond_in, args.rollout_steps,
+                sched, ceps, cond_frames, fc_steps,
                 jax.random.PRNGKey(args.seed + 7),
                 t_switch=args.t_switch,
-                conditioned_steps=args.conditioned_steps,
+                conditioned_steps=k_cond,
             )
             multi["cf_compose_UHMC"] = score_n(uhmc)
 
         from ..physics.nbody import simulate
 
-        if args.conditioned_steps > 0:
-            state0 = (cond_n[:, -1] * 200.0).reshape(args.batch_size, N, 4)
-        else:
-            state0 = (gt_n[:, 0] * 200.0).reshape(args.batch_size, N, 4)
-        traj_n = simulate(state0, args.rollout_steps * 4)[:, 3::4]
+        # last grounded frame -> forecast; frame j of traj_n aligns with
+        # gt frame (fc_start + j) one dt early (the eval_simu recording
+        # convention, physics/nbody.py:105-127)
+        state0 = (gt_n[:, 0] * 200.0 if cs == 0
+                  else cond_n[:, -1] * 200.0).reshape(args.batch_size, N, 4)
+        n_fc = gt_n.shape[1] - fc_start
+        traj_n = simulate(state0, n_fc * 4)[:, 3::4]
         multi["SimuSolver"] = score_n(
-            traj_n.reshape(args.batch_size, args.rollout_steps, N * 4) / 200.0
+            traj_n.reshape(args.batch_size, n_fc, N * 4) / 200.0
         )
         record["multibody_strategies"] = multi
 

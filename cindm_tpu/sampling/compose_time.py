@@ -197,7 +197,12 @@ def sample_compose_multibodies(
 ) -> jax.Array:
     """ULA-for-high-t then ancestral sampling (`model/diffusion_1d.py:1985-2073`):
     for t > t_switch take L Langevin steps x ← x + s·score + √(2s)·ξ with
-    score = −ε/√(1−ᾱ_t); below t_switch use standard p_sample."""
+    score = −ε/√(1−ᾱ_t); below t_switch use standard p_sample.
+
+    When ``conditioned_steps > 0`` the cond frames are re-inpainted at every
+    outer step by q-sampling the clean cond to the current noise level (the
+    `model/diffusion_1d.py:1715-1718` protocol) — unlike the reference's ULA
+    loop, which lets the cond region drift above t_switch."""
     B = cond.shape[0]
     F = cond.shape[2]
     T = sched.num_timesteps
@@ -206,6 +211,13 @@ def sample_compose_multibodies(
     x = jnp.concatenate([cond, img], axis=1) if conditioned_steps > 0 else img
     step_sizes = sched.betas * langevin_step_scale
     score_scale = 1.0 / sched.sqrt_one_minus_alphas_cumprod
+
+    def inpaint(x, t, t_b, key):
+        if conditioned_steps == 0:
+            return x
+        noisy = dd.q_sample(sched, cond, t_b, jax.random.normal(key, cond.shape))
+        noisy = jnp.where(t > 0, noisy, cond)
+        return x.at[:, :conditioned_steps].set(noisy)
 
     def body(carry, t):
         x, key = carry
@@ -233,6 +245,7 @@ def sample_compose_multibodies(
             return out
 
         x = jax.lax.cond(t > t_switch, ula, ancestral, x, k1)
+        x = inpaint(x, t, t_b, k2)
         return (x, key), None
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
@@ -256,7 +269,9 @@ def sample_compose_multibodies_uhmc(
     """Underdamped-HMC variant (a *working* completion of the reference's
     partially-dead UHMC scaffolding, `model/diffusion_1d.py:2076-2237`):
     leapfrog momentum updates with the composed score for t > t_switch,
-    ancestral p_sample below."""
+    ancestral p_sample below. ``conditioned_steps > 0`` re-inpaints the cond
+    frames every outer step (q-sample to the current level), as in
+    ``sample_compose_multibodies``."""
     B, F = cond.shape[0], cond.shape[2]
     T = sched.num_timesteps
     key, k0, kv = jax.random.split(key, 3)
@@ -265,6 +280,13 @@ def sample_compose_multibodies_uhmc(
     v = jax.random.normal(kv, x.shape)
     step_sizes = sched.betas * step_scale
     score_scale = 1.0 / sched.sqrt_one_minus_alphas_cumprod
+
+    def inpaint(x, t, t_b, key):
+        if conditioned_steps == 0:
+            return x
+        noisy = dd.q_sample(sched, cond, t_b, jax.random.normal(key, cond.shape))
+        noisy = jnp.where(t > 0, noisy, cond)
+        return x.at[:, :conditioned_steps].set(noisy)
 
     def body(carry, t):
         x, v, key = carry
@@ -296,6 +318,7 @@ def sample_compose_multibodies_uhmc(
             return out, v
 
         x, v = jax.lax.cond(t > t_switch, hmc, ancestral, (x, v, k1))
+        x = inpaint(x, t, t_b, k2)
         return (x, v, key), None
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)

@@ -40,8 +40,18 @@ def get_design_fn(
     from n=2 to n=8, RESULTS.md round-3); passing ``2 / n_bodies`` normalizes
     the composed gradient back to the 2-body tuning the paper coefficients
     were chosen for.
+
+    ``coef`` and ``time_consistency_coef`` may each be a scalar or a
+    per-sample ``[B]`` array. Because the objective is a sum of independent
+    per-sample terms, per-sample coefficients make ``jax.grad`` of ONE
+    batched objective identical to running separate batches with scalar
+    coefficients — a coefficient sweep folds into the batch axis and
+    compiles once (benchmarks/run_sweep8.py).
     """
     assert pos_target.ndim == 1
+    tcc_static_zero = isinstance(time_consistency_coef, (int, float)) and (
+        time_consistency_coef == 0.0
+    )
 
     def point_objective(pos: jax.Array) -> jax.Array:
         p = _body_positions(pos)[..., -last_n_step:, :, :]  # [B, last, n, 2]
@@ -52,15 +62,15 @@ def get_design_fn(
             per = jnp.sum(d, axis=-1)
         else:
             raise ValueError(design_fn_mode)
-        loss = jnp.sum(jnp.mean(per, axis=-2))  # mean over steps, sum over B and bodies
-        loss_total = loss * coef
-        if time_consistency_coef > 0:
+        # mean over steps, sum over bodies -> per-sample [B], then
+        # coef-weighted sum over B (scalar coef == the original reduction)
+        per_sample = jnp.sum(jnp.mean(per, axis=-2), axis=-1)
+        loss_total = jnp.sum(per_sample * coef)
+        if not tcc_static_zero:
             xy = _body_positions(pos)
             dv = xy[:, 1:] - xy[:, :-1]
-            loss_total = loss_total + (
-                jnp.sum(jnp.mean(jnp.sum(jnp.square(dv), axis=(-1, -2)), axis=-1))
-                * time_consistency_coef
-            )
+            cons = jnp.mean(jnp.sum(jnp.square(dv), axis=(-1, -2)), axis=-1)  # [B]
+            loss_total = loss_total + jnp.sum(cons * time_consistency_coef)
         return loss_total * norm_factor
 
     return point_objective

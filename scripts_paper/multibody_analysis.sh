@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 
 if [ ! -d results/nbody1_uncond/20000 ]; then  # idempotent under queue relaunch
   timeout 1500 python -m cindm_tpu.cli.train_1d \
-    --n_bodies 1 --conditioned_steps 0 --rollout_steps 24 \
+    --dataset nbody-1 --conditioned_steps 0 --rollout_steps 24 \
     --n_sims 6000 --test_sims 100 --batch_size 256 --steps_per_launch 25 \
     --train_num_steps 20000 --save_and_sample_every 10000 --log_every 1000 \
     --results_folder ./results/nbody1_uncond

@@ -308,6 +308,21 @@ def test_analysis_1d_multibody_strategies(tmp_path):
     # the simulator floor must beat the 2-step-trained models
     assert multi["SimuSolver"]["mae"] <= multi["pairwise_compose"]["mae"]
 
+    # conditioned_steps==0 protocol (the real nbody2_coll prior): the first
+    # ground-truth frame is q-sample-inpainted and scoring starts at frame 1
+    record0 = analysis_main([
+        "--model_path", str(tmp_path / "pair"),
+        "--uncond_model_path", str(tmp_path / "uncond"),
+        "--compose_multibodies", "4", "--Unet_dim", "16",
+        "--conditioned_steps", "0", "--rollout_steps", "8",
+        "--timesteps", "20", "--sample_steps", "10", "--t_switch", "10",
+        "--langevin_steps", "2", "--batch_size", "2", "--n_sims", "2",
+    ])
+    multi0 = record0["multibody_strategies"]
+    for k in ("pairwise_compose", "cf_compose_ULA", "cf_compose_UHMC", "SimuSolver"):
+        assert np.isfinite(multi0[k]["mae"]), k
+    assert multi0["SimuSolver"]["mae"] <= multi0["pairwise_compose"]["mae"]
+
 
 def test_train_1d_resume(tmp_path):
     from cindm_tpu.cli.train_1d import main

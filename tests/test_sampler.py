@@ -147,3 +147,33 @@ def test_design_fn_norm_factor_scales_gradient():
     g1 = jax.grad(f1)(x)
     g4 = jax.grad(f4)(x)
     assert jnp.allclose(g4, 0.25 * g1, rtol=1e-5)
+
+
+def test_design_fn_vector_coefs_match_scalar_grads():
+    """Per-sample coef vectors fold a coefficient sweep into the batch axis:
+    grad of ONE batched objective must equal the per-sample grads obtained
+    with scalar coefficients (benchmarks/run_sweep8.py relies on this)."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (6, 8, 8))  # 2-body, 8 steps
+    target = jnp.array([0.5, 0.5])
+    coefs = jnp.array([0.1, 0.1, 0.2, 0.2, 0.4, 0.4])
+    ccs = jnp.array([0.2, 0.6, 0.2, 0.6, 0.2, 0.6])
+    f_vec = get_design_fn(target, last_n_step=1, coef=coefs,
+                          time_consistency_coef=ccs)
+    g_vec = jax.grad(f_vec)(x)
+    for i in range(6):
+        f_i = get_design_fn(target, last_n_step=1, coef=float(coefs[i]),
+                            time_consistency_coef=float(ccs[i]))
+        g_i = jax.grad(f_i)(x[i : i + 1])
+        np.testing.assert_allclose(g_vec[i], g_i[0], rtol=1e-6, atol=1e-7)
+
+
+def test_design_fn_vector_coef_zero_consistency_vector():
+    """An all-zero consistency VECTOR must still trace (the static-zero
+    shortcut only applies to scalar zero)."""
+    x = jnp.ones((2, 4, 8)) * 0.3
+    f = get_design_fn(jnp.array([0.5, 0.5]), last_n_step=1,
+                      coef=jnp.array([0.2, 0.4]),
+                      time_consistency_coef=jnp.zeros(2))
+    g = jax.grad(f)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
