@@ -125,8 +125,15 @@ def lepde_loss(
     u0: jax.Array,
     static: jax.Array,
     targets: jax.Array,  # [B, K, H, W, C]
+    multi_step_dict: dict | None = None,
+    loss_type: str = "mse",
 ) -> jax.Array:
-    """recons + latent-consistency + multi-step loss (`le_pde/models.py:1143-1250`)."""
+    """recons + latent-consistency + multi-step loss (`le_pde/models.py:1143-1250`).
+
+    ``multi_step_dict`` ({step: weight}, `le_pde/utils.py:713` semantics)
+    weights the prediction loss per rollout step; default = uniform mse
+    over all K steps (the previous behavior).
+    """
     def apply(fn_name, *args):
         return model.apply(params, *args, method=getattr(model, fn_name))
 
@@ -134,7 +141,15 @@ def lepde_loss(
     recon = apply("decode", z0)
     loss_recon = jnp.mean(jnp.square(recon - u0))
     preds = model.apply(params, u0, static, targets.shape[1])
-    loss_pred = jnp.mean(jnp.square(preds - targets))
+    if multi_step_dict is None:
+        loss_pred = jnp.mean(jnp.square(preds - targets))
+    else:
+        from .harness import loss_core
+
+        loss_pred = sum(
+            w * loss_core(preds[:, k - 1], targets[:, k - 1], loss_type)
+            for k, w in multi_step_dict.items()
+        ) / sum(multi_step_dict.values())
     # latent consistency: evolving z0 should match encoding the target
     B, K = targets.shape[:2]
     z_t, _ = apply("encode", targets[:, 0], static)

@@ -97,6 +97,7 @@ def make_train_step_from_loss(
     mesh: Optional[Mesh] = None,
     steps_per_launch: int = 1,
     broadcast_batch: bool = False,
+    tx: Optional[optax.GradientTransformation] = None,
 ) -> Callable:
     """Build a jitted train step from any loss_fn(params, batch, key)→scalar.
 
@@ -119,8 +120,13 @@ def make_train_step_from_loss(
     ~10 ms of compute in a step, so amortizing k steps per launch is the
     difference between ~4 and >25 optimizer steps/s at batch 512. Returned
     loss is the [k] per-micro-step loss vector (host logs the last entry).
+
+    ``tx`` overrides the optimizer (must match the one used for
+    ``init_train_state``) — used by the baseline harness for adamw /
+    cosine-schedule variants (`le_pde/models.py:2594` build_optimizer).
     """
-    tx = make_optimizer(train_cfg)
+    if tx is None:
+        tx = make_optimizer(train_cfg)
 
     def ema_decay_at(step):
         # ema_pytorch.EMA semantics (`model/diffusion_1d.py:2617` uses its

@@ -147,3 +147,29 @@ def test_backprop_design_converges():
     pos = np.asarray(cond).reshape(2, 4)[:, :2]
     np.testing.assert_allclose(pos, 0.7, atol=0.02)
     assert float(objs[-1]) < float(objs[0])
+
+
+def test_parse_multi_step_reference_format():
+    from cindm_tpu.baselines.harness import parse_multi_step
+
+    assert parse_multi_step("1") == {1: 1.0}
+    assert parse_multi_step("1^2:1e-2^4:1e-3") == {1: 1.0, 2: 0.01, 4: 0.001}
+    assert parse_multi_step("2:0.5") == {2: 0.5}
+
+
+def test_multi_step_loss_weights_listed_steps_only():
+    import jax.numpy as jnp
+    from cindm_tpu.baselines.harness import loss_core, multi_step_loss
+
+    # step_fn doubles the state; targets chosen so step-2 loss is zero
+    u0 = jnp.ones((2, 3))
+    targets = jnp.stack([jnp.zeros((2, 3)), 4.0 * jnp.ones((2, 3))], axis=1)
+    # only step 2 listed -> rolled to 4.0 == target -> loss 0
+    out = multi_step_loss(lambda x: 2.0 * x, u0, targets, {2: 1.0}, "mse")
+    assert float(out) == 0.0
+    # steps 1 and 2 with weights: step1 mse = (2-0)^2 = 4, step2 = 0
+    out = multi_step_loss(lambda x: 2.0 * x, u0, targets, {1: 0.5, 2: 1.0}, "mse")
+    assert abs(float(out) - (0.5 * 4.0) / 1.5) < 1e-6
+    # l1 / huber paths trace
+    for lt in ("l1", "huber"):
+        assert float(loss_core(jnp.ones(3), jnp.zeros(3), lt)) > 0

@@ -338,3 +338,31 @@ def test_train_1d_resume(tmp_path):
     assert int(s1["step"]) == 2
     s2 = main(["--train_num_steps", "4", "--resume", "True"] + common)
     assert int(s2["step"]) == 4
+
+
+def test_train_baseline_widened_flags(tmp_path):
+    """B4 flag surface (le_pde argparser semantics): weighted multi_step
+    spec, multi_step_start_epoch gating, cosine lr + weight decay (adamw),
+    data noise, loss_type, val split + hash-named experiment record."""
+    import glob
+    import json as _json
+
+    from cindm_tpu.cli.train_baseline import main as tb_main
+
+    state = tb_main([
+        "--algo", "fno", "--n_sims", "2", "--epochs", "2",
+        "--steps_per_epoch", "2", "--batch_size", "2",
+        "--multi_step", "1^2:1e-1", "--multi_step_start_epoch", "1",
+        "--loss_type", "l1", "--data_noise_amp", "1e-3",
+        "--lr_scheduler_type", "cos", "--weight_decay", "1e-4",
+        "--fno_modes", "4", "--fno_width", "8",
+        "--is_unittest", "False", "--is_testdata", "True",
+        "--results_folder", str(tmp_path / "fno"),
+    ])
+    assert int(state["step"]) == 4
+    recs = glob.glob(str(tmp_path / "fno" / "record_*.json"))
+    assert len(recs) == 1
+    rec = _json.load(open(recs[0]))
+    assert len(rec["history"]) == 2
+    assert rec["history"][0]["val_loss"] is not None
+    assert rec["args"]["multi_step"] == "1^2:1e-1"
