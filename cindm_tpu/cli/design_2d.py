@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "mask-centroid separation term (pushes nb>=2 "
                         "boundaries APART instead of shrinking them like "
                         "the overlap penalty)")
+    p.add_argument("--station_until", type=int, default=0,
+                   help="q-sample-inpaint per-boundary proto-mask blobs at "
+                        "staggered stations into the mask channel while "
+                        "t >= this value, then release (breaks the nb>=2 "
+                        "collapse the x_T-bias/separation-penalty ablations "
+                        "cannot — see p_sample_loop_2d docstring); 0 = off")
     p.add_argument("--init_sep", type=float, default=0.0,
                    help="symmetry-breaking ablation: amplitude of per-"
                         "boundary Gaussian bumps added to the mask channel "
@@ -99,7 +105,8 @@ def main(argv=None):
         lambda_separation=args.lambda_separation,
     )
     init_bias = None
-    if args.init_sep > 0.0 and args.num_boundaries > 1:
+    station_pattern = None
+    if (args.init_sep > 0.0 or args.station_until > 0) and args.num_boundaries > 1:
         # per-boundary Gaussian bump in the mask channel, centers staggered
         # along the flow (x) axis — asymmetric-init ablation (VERDICT r2 #1)
         H = W = cfg.image_size
@@ -110,9 +117,18 @@ def main(argv=None):
         s = W / (3.0 * nb)
         bumps = jnp.exp(-((xx[None] - centers_x[:, None, None]) ** 2
                           + (yy[None] - cy) ** 2) / (2 * s * s))  # [nb, H, W]
-        bias = jnp.zeros((args.batch_size, nb, H, W, cfg.channels))
-        bias = bias.at[..., -3].set(args.init_sep * bumps[None])
-        init_bias = bias.reshape(args.batch_size * nb, H, W, cfg.channels)
+        if args.init_sep > 0.0:
+            bias = jnp.zeros((args.batch_size, nb, H, W, cfg.channels))
+            bias = bias.at[..., -3].set(args.init_sep * bumps[None])
+            init_bias = bias.reshape(args.batch_size * nb, H, W, cfg.channels)
+        if args.station_until > 0:
+            # binary proto-mask blobs (data units [0,1]) held through the
+            # high-noise phase via q-sample inpainting — see
+            # p_sample_loop_2d(station_pattern=...)
+            blobs = (bumps > jnp.exp(-0.5)).astype(jnp.float32)  # radius ≈ s
+            station_pattern = jnp.broadcast_to(
+                blobs[None], (args.batch_size, nb, H, W)
+            ).reshape(args.batch_size * nb, H, W)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
     eps = lambda x, t: model.apply(params, x, t)
     mesh = None
@@ -140,6 +156,8 @@ def main(argv=None):
             batch=args.batch_size, num_boundaries=args.num_boundaries,
             design_fn=design_fn, design_guidance=args.design_guidance,
             host_chunks=args.host_chunks, mesh=mesh, init_bias=init_bias,
+            station_pattern=station_pattern,
+            station_until=args.station_until,
             progress=True,
         )
     # post-process: mask → polygons, reject overlapping designs
@@ -170,7 +188,8 @@ def main(argv=None):
               "num_boundaries": args.num_boundaries,
               "lambda_overlap": args.lambda_overlap,
               "lambda_separation": args.lambda_separation,
-              "init_sep": args.init_sep, "ddim_steps": args.ddim_steps}
+              "init_sep": args.init_sep, "station_until": args.station_until,
+              "ddim_steps": args.ddim_steps}
     if args.evaluate and results:
         # pad polygons to a fixed point count for batching
         M = max(len(p) for polys in results for p in polys)

@@ -227,6 +227,8 @@ def p_sample_loop_2d(
     host_chunks: int = 1,
     mesh=None,
     init_bias: Optional[jax.Array] = None,
+    station_pattern: Optional[jax.Array] = None,
+    station_until: int = 0,
     progress: bool = False,
 ) -> jax.Array:
     """Full ancestral loop (`model/diffusion_2d.py:892-907`).
@@ -241,7 +243,18 @@ def p_sample_loop_2d(
     ``init_bias`` ([B·nb, H, W, C] or broadcastable) is added to the x_T
     noise — the asymmetric per-boundary initialization ablation (VERDICT
     r2 #1): distinct spatial bumps in each boundary's mask channel break
-    the symmetry that otherwise collapses nb≥2 designs onto one shape."""
+    the symmetry that otherwise collapses nb≥2 designs onto one shape.
+
+    ``station_pattern`` ([B·nb, H, W] per-boundary target mask, data units
+    [0, 1]) + ``station_until``: q-sample-inpaint the MASK channel toward
+    the pattern while t >= station_until, then release (the 1D
+    cond-inpainting protocol, `model/diffusion_1d.py:1715-1718`, applied to
+    the boundary mask). Round-4 finding: an x_T-only bias is washed out
+    immediately and the separation-penalty gradient is crushed by the
+    standard-alpha eta (coeff_ratio·β ≈ 2e-8..4e-6), so nb≥2 designs
+    deterministically collapse onto one location (0/16 valid, all-overlap
+    rejections); holding distinct proto-masks through the high-noise phase
+    breaks the symmetry at the distribution level instead."""
     H = W = cfg.image_size
     C = cfg.channels
     key, k0 = jax.random.split(key)
@@ -255,12 +268,23 @@ def p_sample_loop_2d(
 
     def step(carry, t):
         img, key = carry
-        key, k = jax.random.split(key)
+        key, k, k2 = jax.random.split(key, 3)
         img, _ = p_sample_2d(
             cfg, sched, eps_model, img, t, k,
             batch=batch, num_boundaries=num_boundaries,
             design_fn=design_fn, design_guidance=design_guidance,
         )
+        if station_pattern is not None:
+            t_b = jnp.full((img.shape[0],), t, dtype=jnp.int32)
+            noisy = dd.q_sample(
+                sched, station_pattern, t_b,
+                jax.random.normal(k2, station_pattern.shape),
+            )
+            inpainted = jnp.concatenate(
+                [img[..., : C - 3], noisy[..., None], img[..., C - 2 :]],
+                axis=-1,
+            )
+            img = jnp.where(t >= station_until, inpainted, img)
         return (img, key), None
 
     ts = jnp.arange(cfg.timesteps - 1, -1, -1, dtype=jnp.int32)

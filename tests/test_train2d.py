@@ -122,3 +122,40 @@ def test_2d_guided_ddim_with_init_bias():
     assert bool(jnp.all(jnp.isfinite(out)))
     out0 = ddim_sample_loop_2d(cfg, sched, eps, jax.random.PRNGKey(3), **kw)
     assert float(jnp.max(jnp.abs(out - out0))) > 1e-4
+
+
+def test_2d_station_inpainting_holds_then_releases():
+    """station_pattern + station_until: the mask channel tracks the
+    q-sampled proto-blobs while t >= station_until (the nb>=2 symmetry
+    breaker — round-4 fix for the all-overlap collapse). With
+    station_until=1 the final mask must correlate with the pattern far
+    more than an unconstrained run."""
+    cfg, model, params, sched = _setup()
+    eps = lambda x, t: model.apply(params, x, t)
+    hw = cfg.image_size
+    # two disjoint quadrant blobs, one per boundary
+    pat = np.zeros((2, 2, hw, hw), np.float32)
+    pat[:, 0, 2:6, 2:6] = 1.0
+    pat[:, 1, 10:14, 10:14] = 1.0
+    pattern = jnp.asarray(pat.reshape(4, hw, hw))
+
+    out = p_sample_loop_2d(
+        cfg, sched, eps, jax.random.PRNGKey(7), batch=2, num_boundaries=2,
+        station_pattern=pattern, station_until=1,
+    )
+    assert out.shape == (2, 2, hw, hw, cfg.channels)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    mask = np.asarray(out[..., -3]).reshape(4, hw, hw)
+    pat_np = np.asarray(pattern)
+    # inpainted until t=1: the final mask should match the pattern region
+    in_blob = (mask * pat_np).sum() / pat_np.sum()
+    out_blob = (mask * (1 - pat_np)).sum() / (1 - pat_np).sum()
+    assert in_blob > out_blob + 0.3, (in_blob, out_blob)
+
+    # released early (station_until = T): pattern only touches x_T level,
+    # shapes still valid
+    out2 = p_sample_loop_2d(
+        cfg, sched, eps, jax.random.PRNGKey(7), batch=2, num_boundaries=2,
+        station_pattern=pattern, station_until=cfg.timesteps - 1,
+    )
+    assert bool(jnp.all(jnp.isfinite(out2)))
