@@ -96,6 +96,10 @@ if [ -f results/force_v2/.done ] && [ "${M2:=$(latest2d)}" != "" ] && [ "${M2:-0
   d2 nb2_sym 2 --lambda_separation 10 --init_sep 0.5
   d2 nb2 2
   d2 nb3_sym 3 --lambda_separation 10 --init_sep 0.5
+  # station inpainting (round-4 fix): proto-mask blobs held for t>=700 break
+  # the deterministic collapse that made every non-station nb>=2 run 0-valid
+  d2 nb2_station 2 --station_until 700
+  d2 nb3_station 3 --station_until 700
 fi
 
 # ---- P. persist the 2D prior + ForceUnet (EMA-only bf16) + commit ----
