@@ -112,11 +112,24 @@ def main(argv=None):
         H = W = cfg.image_size
         nb = args.num_boundaries
         yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
-        centers_x = (jnp.arange(nb) + 1.0) * W / (nb + 1.0)
-        cy = H / 2.0
-        s = W / (3.0 * nb)
-        bumps = jnp.exp(-((xx[None] - centers_x[:, None, None]) ** 2
-                          + (yy[None] - cy) ** 2) / (2 * s * s))  # [nb, H, W]
+        # stations staggered along Y (cross-flow) INSIDE the training
+        # position band (sample_boundary_params: x∈[0.25,0.45]W,
+        # y∈[0.4,0.6]H — airfoils x-separated in-band cannot avoid overlap
+        # at chord 13-22 cells, and out-of-band stations get pulled back
+        # into the band after release and merge). Blobs are anisotropic
+        # (airfoil-like, longer along the flow).
+        cx = 0.35 * W
+        if nb > 1:
+            centers_y = jnp.linspace(0.4 * H, 0.6 * H, nb)
+            sy = 0.35 * float(centers_y[1] - centers_y[0])
+        else:
+            centers_y = jnp.array([0.5 * H])
+            sy = 4.0
+        sx = 2.5 * sy
+        bumps = jnp.exp(
+            -((xx[None] - cx) ** 2) / (2 * sx * sx)
+            - ((yy[None] - centers_y[:, None, None]) ** 2) / (2 * sy * sy)
+        )  # [nb, H, W]
         if args.init_sep > 0.0:
             bias = jnp.zeros((args.batch_size, nb, H, W, cfg.channels))
             bias = bias.at[..., -3].set(args.init_sep * bumps[None])

@@ -10,9 +10,10 @@ cd "$(dirname "$0")/.."
 if [ ! -d results/nbody1_uncond/20000 ]; then  # idempotent under queue relaunch
   timeout 1500 python -m cindm_tpu.cli.train_1d \
     --dataset nbody-1 --conditioned_steps 0 --rollout_steps 24 \
-    --n_sims 6000 --test_sims 100 --batch_size 256 --steps_per_launch 25 \
+    --n_sims 6000 --test_sims 100 --batch_size 256 \
+    --gradient_accumulate_every 1 --steps_per_launch 25 \
     --train_num_steps 20000 --save_and_sample_every 10000 --log_every 1000 \
-    --results_folder ./results/nbody1_uncond
+    --results_folder ./results/nbody1_uncond --resume True
 fi
 
 # round-4: the surviving/retrained prior lives in nbody2_coll (nbody2_paper
