@@ -20,9 +20,10 @@ def main():
     args = ap.parse_args()
 
     rows = json.load(open(os.path.join(ROOT, "results/designs/sweep8.json")))
-    norm_path = os.path.join(ROOT, "results/designs/sweep8_norm.json")
-    if os.path.exists(norm_path):  # per-body-normalization ablation points
-        rows = rows + json.load(open(norm_path))
+    for extra in ("sweep8_norm.json", "sweep8_ext.json"):
+        p = os.path.join(ROOT, "results/designs", extra)
+        if os.path.exists(p):  # normalization ablation / extension grid
+            rows = rows + json.load(open(p))
     best = min((r for r in rows if "design_obj" in r), key=lambda r: r["design_obj"])
     print("WINNER", json.dumps(best), flush=True)
 

@@ -72,6 +72,17 @@ def main():
     from cindm_tpu.cli import design_1d, design_1d_baseline
 
     rows = []
+    if os.path.exists(args.out):  # resume: keep completed rows, retry errors
+        try:
+            rows = [r for r in json.load(open(args.out)) if "error" not in r]
+            if rows:
+                print(f"RESUME: {len(rows)} completed rows in {args.out}",
+                      flush=True)
+        except Exception:
+            rows = []
+    done_cindm = {(r.get("n_bodies"), r.get("n_composed"))
+                  for r in rows if r.get("method") == "CinDM"}
+    done_base = {r.get("method") for r in rows if r.get("method") != "CinDM"}
 
     def flush():
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -79,6 +90,10 @@ def main():
             json.dump(rows, f, indent=1)
 
     for n_bodies, n_comp, dc, cc in CINDM_ROWS:
+        if (n_bodies, n_comp) in done_cindm:
+            print(f"SKIP (done) CinDM {n_bodies}-body n_composed={n_comp}",
+                  flush=True)
+            continue
         if args.only_bodies is not None and n_bodies not in args.only_bodies:
             continue
         if args.only_composed is not None and n_comp not in args.only_composed:
@@ -126,6 +141,9 @@ def main():
     if not args.skip_baselines:
         for design_method in ("backprop", "CEM"):
             for model, path in CKPTS.items():
+                if f"{design_method}/{model}" in done_base:
+                    print(f"SKIP (done) {design_method}/{model}", flush=True)
+                    continue
                 t0 = time.time()
                 try:
                     rec = design_1d_baseline.main([

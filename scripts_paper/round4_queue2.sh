@@ -100,6 +100,11 @@ if [ -f results/force_v2/.done ] && [ "${M2:=$(latest2d)}" != "" ] && [ "${M2:-0
   # the deterministic collapse that made every non-station nb>=2 run 0-valid
   d2 nb2_station 2 --station_until 700
   d2 nb3_station 3 --station_until 700
+  # revision 2: Y-staggered stations INSIDE the training position band
+  # (x-stations at W/3, 2W/3 sit outside x∈[0.25,0.45]W — the mask migrates
+  # back after release and merges) + longer hold (release at t=300)
+  d2 nb2_stationY 2 --station_until 300 --dump_raw ./results/designs/raw_nb2_stationY.npy
+  d2 nb3_stationY 3 --station_until 300
 fi
 
 # ---- P. persist the 2D prior + ForceUnet (EMA-only bf16) + commit ----
@@ -150,20 +155,37 @@ if [ ! -f results/designs/.sweep8norm_r4 ]; then
   rc=$?; status sweep8norm $rc
   [ "$rc" -eq 0 ] && touch results/designs/.sweep8norm_r4
 fi
+# ---- G2. extension grid toward the observed trend (higher coefs, more
+# recurrence — the 12-point grid's best corner was 0.4/0.6/rec20) ----
+if [ ! -f results/designs/.sweep8ext_r4 ]; then
+  wd 3000 /tmp/r4_sweep8ext.log \
+    python benchmarks/run_sweep8.py \
+      --model_path ./results/nbody2_coll --batch_size 32 \
+      --design_coefs 0.4 0.8 --consistency_coefs 0.6 1.2 \
+      --recurrences 20 30 \
+      --out ./results/designs/sweep8_ext.json
+  rc=$?; status sweep8ext $rc
+  # a better winner invalidates the batch-64 confirm -> rerun it
+  [ "$rc" -eq 0 ] && { touch results/designs/.sweep8ext_r4
+                       rm -f results/designs/8body_T54_winner_b64.json; }
+fi
 if [ ! -f results/designs/8body_T54_winner_b64.json ]; then
   wd 1800 /tmp/r4_sweep8_confirm.log python benchmarks/confirm_sweep8.py
   status sweep8_confirm $?
 fi
 
 # ---- H. paper-protocol CinDM tables (batch 500, reference budgets) ----
-if ! done_rec results/tables_paper.json; then
+# run_tables_paper.py resumes from --out (completed rows are skipped), so
+# the guard is a completion marker, not file existence
+if [ ! -f results/designs/.tables_r4 ]; then
   wd 7200 /tmp/r4_tables.log \
     python benchmarks/run_tables_paper.py \
       --batch_size 500 --flagship_batch 128 --skip_baselines \
       --diffusion_path ./results/nbody2_coll \
       --flagship_winner ./results/designs/8body_T54_winner_b64.json \
       --out ./results/tables_paper.json
-  status tables_cindm $?
+  rc=$?; status tables_cindm $rc
+  [ "$rc" -eq 0 ] && touch results/designs/.tables_r4
 fi
 
 # ---- I. FNO surrogate on v2 + 2-boundary 2D baselines ----
@@ -191,12 +213,13 @@ if [ -f results/fno_v2/.done ] && [ -f results/force_v2/.done ]; then
 fi
 
 # ---- J. baseline paper tables (reference budgets) ----
-if ! done_rec results/tables_paper_baselines.json; then
+if [ ! -f results/designs/.tablesbase_r4 ]; then
   wd 5400 /tmp/r4_tables_base.log \
     python benchmarks/run_tables_paper.py \
       --batch_size 500 --only_bodies 0 \
       --out ./results/tables_paper_baselines.json
-  status tables_baselines $?
+  rc=$?; status tables_baselines $rc
+  [ "$rc" -eq 0 ] && touch results/designs/.tablesbase_r4
 fi
 
 echo R4_QUEUE2_DONE @ $(date -u +%H:%M:%S)
