@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "mask-centroid separation term (pushes nb>=2 "
                         "boundaries APART instead of shrinking them like "
                         "the overlap penalty)")
+    p.add_argument("--region_partition", default="none", choices=["none", "y"],
+                   help="'y' assigns each boundary a horizontal band (2-cell "
+                        "gaps) and inpaints its mask to zero outside it every "
+                        "step — non-overlap by construction, design free "
+                        "inside the band (see p_sample_loop_2d region_mask)")
     p.add_argument("--station_until", type=int, default=0,
                    help="q-sample-inpaint per-boundary proto-mask blobs at "
                         "staggered stations into the mask channel while "
@@ -142,6 +147,20 @@ def main(argv=None):
             station_pattern = jnp.broadcast_to(
                 blobs[None], (args.batch_size, nb, H, W)
             ).reshape(args.batch_size * nb, H, W)
+    region_mask = None
+    if args.region_partition == "y" and args.num_boundaries > 1:
+        # per-boundary horizontal bands with 2-cell gaps: boundary k may only
+        # place mask inside its band (zero-inpainted elsewhere each step)
+        H = W = cfg.image_size
+        nb = args.num_boundaries
+        rows = jnp.arange(H)[:, None] * jnp.ones((1, W))
+        bands = []
+        for k in range(nb):
+            lo, hi = k * H / nb + 2, (k + 1) * H / nb - 2
+            bands.append(((rows >= lo) & (rows < hi)).astype(jnp.float32))
+        region_mask = jnp.broadcast_to(
+            jnp.stack(bands)[None], (args.batch_size, nb, H, W)
+        ).reshape(args.batch_size * nb, H, W)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
     eps = lambda x, t: model.apply(params, x, t)
     mesh = None
@@ -171,6 +190,7 @@ def main(argv=None):
             host_chunks=args.host_chunks, mesh=mesh, init_bias=init_bias,
             station_pattern=station_pattern,
             station_until=args.station_until,
+            region_mask=region_mask,
             progress=True,
         )
     # post-process: mask → polygons, reject overlapping designs
@@ -202,6 +222,7 @@ def main(argv=None):
               "lambda_overlap": args.lambda_overlap,
               "lambda_separation": args.lambda_separation,
               "init_sep": args.init_sep, "station_until": args.station_until,
+              "region_partition": args.region_partition,
               "ddim_steps": args.ddim_steps}
     if args.evaluate and results:
         # pad polygons to a fixed point count for batching

@@ -229,6 +229,7 @@ def p_sample_loop_2d(
     init_bias: Optional[jax.Array] = None,
     station_pattern: Optional[jax.Array] = None,
     station_until: int = 0,
+    region_mask: Optional[jax.Array] = None,
     progress: bool = False,
 ) -> jax.Array:
     """Full ancestral loop (`model/diffusion_2d.py:892-907`).
@@ -254,7 +255,17 @@ def p_sample_loop_2d(
     standard-alpha eta (coeff_ratio·β ≈ 2e-8..4e-6), so nb≥2 designs
     deterministically collapse onto one location (0/16 valid, all-overlap
     rejections); holding distinct proto-masks through the high-noise phase
-    breaks the symmetry at the distribution level instead."""
+    breaks the symmetry at the distribution level instead.
+
+    ``region_mask`` ([B·nb, H, W] binary allowed-region indicator): inpaint
+    the mask channel to ZERO outside each boundary's region at every step
+    (exactly zero at t=0) — a per-boundary spatial-partition constraint.
+    Round-4 second finding (raw-dump diagnosis): even proto-masks held to
+    t=300 migrate back to the shared state's single-airfoil location in the
+    remaining steps, because the prior's state channels can only carry one
+    wake; constraining WHERE each mask may be non-zero (while leaving the
+    shape free inside its region) makes non-overlap hold by construction
+    without dictating the design."""
     H = W = cfg.image_size
     C = cfg.channels
     key, k0 = jax.random.split(key)
@@ -285,6 +296,19 @@ def p_sample_loop_2d(
                 axis=-1,
             )
             img = jnp.where(t >= station_until, inpainted, img)
+        if region_mask is not None:
+            t_b = jnp.full((img.shape[0],), t, dtype=jnp.int32)
+            zero_noisy = dd.q_sample(
+                sched, jnp.zeros_like(region_mask), t_b,
+                jax.random.normal(k2, region_mask.shape),
+            )
+            zero_noisy = jnp.where(t > 0, zero_noisy, 0.0)
+            cur = img[..., C - 3]
+            constrained = region_mask * cur + (1.0 - region_mask) * zero_noisy
+            img = jnp.concatenate(
+                [img[..., : C - 3], constrained[..., None], img[..., C - 2 :]],
+                axis=-1,
+            )
         return (img, key), None
 
     ts = jnp.arange(cfg.timesteps - 1, -1, -1, dtype=jnp.int32)

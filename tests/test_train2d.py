@@ -159,3 +159,24 @@ def test_2d_station_inpainting_holds_then_releases():
         station_pattern=pattern, station_until=cfg.timesteps - 1,
     )
     assert bool(jnp.all(jnp.isfinite(out2)))
+
+
+def test_2d_region_partition_constrains_masks():
+    """region_mask: the mask channel is zero-inpainted outside each
+    boundary's band at every step — non-overlap by construction (round-4
+    second fix for the nb>=2 collapse)."""
+    cfg, model, params, sched = _setup()
+    eps = lambda x, t: model.apply(params, x, t)
+    hw = cfg.image_size
+    reg = np.zeros((2, 2, hw, hw), np.float32)
+    reg[:, 0, : hw // 2 - 1] = 1.0   # boundary 0: top band
+    reg[:, 1, hw // 2 + 1 :] = 1.0   # boundary 1: bottom band
+    region = jnp.asarray(reg.reshape(4, hw, hw))
+    out = p_sample_loop_2d(
+        cfg, sched, eps, jax.random.PRNGKey(9), batch=2, num_boundaries=2,
+        region_mask=region,
+    )
+    mask = np.asarray(out[..., -3]).reshape(4, hw, hw)
+    outside = np.abs(mask * (1 - reg.reshape(4, hw, hw)))
+    assert outside.max() < 1e-6, outside.max()
+    assert bool(jnp.all(jnp.isfinite(out)))
