@@ -105,6 +105,11 @@ if [ -f results/force_v2/.done ] && [ "${M2:=$(latest2d)}" != "" ] && [ "${M2:-0
   # back after release and merges) + longer hold (release at t=300)
   d2 nb2_stationY 2 --station_until 300 --dump_raw ./results/designs/raw_nb2_stationY.npy
   d2 nb3_stationY 3 --station_until 300
+  # revision 3: region partition — each boundary's mask zero-inpainted
+  # outside its own horizontal band every step (non-overlap by
+  # construction, design free inside the band)
+  d2 nb2_region 2 --region_partition y
+  d2 nb3_region 3 --region_partition y
 fi
 
 # ---- P. persist the 2D prior + ForceUnet (EMA-only bf16) + commit ----
@@ -155,20 +160,6 @@ if [ ! -f results/designs/.sweep8norm_r4 ]; then
   rc=$?; status sweep8norm $rc
   [ "$rc" -eq 0 ] && touch results/designs/.sweep8norm_r4
 fi
-# ---- G2. extension grid toward the observed trend (higher coefs, more
-# recurrence — the 12-point grid's best corner was 0.4/0.6/rec20) ----
-if [ ! -f results/designs/.sweep8ext_r4 ]; then
-  wd 3000 /tmp/r4_sweep8ext.log \
-    python benchmarks/run_sweep8.py \
-      --model_path ./results/nbody2_coll --batch_size 32 \
-      --design_coefs 0.4 0.8 --consistency_coefs 0.6 1.2 \
-      --recurrences 20 30 \
-      --out ./results/designs/sweep8_ext.json
-  rc=$?; status sweep8ext $rc
-  # a better winner invalidates the batch-64 confirm -> rerun it
-  [ "$rc" -eq 0 ] && { touch results/designs/.sweep8ext_r4
-                       rm -f results/designs/8body_T54_winner_b64.json; }
-fi
 if [ ! -f results/designs/8body_T54_winner_b64.json ]; then
   wd 1800 /tmp/r4_sweep8_confirm.log python benchmarks/confirm_sweep8.py
   status sweep8_confirm $?
@@ -186,6 +177,25 @@ if [ ! -f results/designs/.tables_r4 ]; then
       --out ./results/tables_paper.json
   rc=$?; status tables_cindm $rc
   [ "$rc" -eq 0 ] && touch results/designs/.tables_r4
+fi
+
+# ---- G2. extension grid toward the observed trend (higher coefs, more
+# recurrence — the 12-point grid's best corner was 0.4/0.6/rec20) ----
+if [ ! -f results/designs/.sweep8ext_r4 ]; then
+  wd 3000 /tmp/r4_sweep8ext.log \
+    python benchmarks/run_sweep8.py \
+      --model_path ./results/nbody2_coll --batch_size 32 \
+      --design_coefs 0.4 0.8 --consistency_coefs 0.6 1.2 \
+      --recurrences 20 30 \
+      --out ./results/designs/sweep8_ext.json
+  rc=$?; status sweep8ext $rc
+  # a better winner invalidates the batch-64 confirm -> rerun it
+  [ "$rc" -eq 0 ] && { touch results/designs/.sweep8ext_r4
+                       rm -f results/designs/8body_T54_winner_b64.json; }
+fi
+if [ ! -f results/designs/8body_T54_winner_b64.json ]; then
+  wd 1800 /tmp/r4_sweep8_confirm2.log python benchmarks/confirm_sweep8.py
+  status sweep8_confirm2 $?
 fi
 
 # ---- I. FNO surrogate on v2 + 2-boundary 2D baselines ----
