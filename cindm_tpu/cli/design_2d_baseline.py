@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", default=None,
                    help="cache dir of generate_airfoil_sims for init states "
                         "and OOD statistics (generated if absent)")
+    p.add_argument("--x_band", type=float, nargs=2, default=[0.25, 0.45])
+    p.add_argument("--y_band", type=float, nargs=2, default=[0.4, 0.6])
     p.add_argument("--n_sims", type=int, default=4)
     p.add_argument("--num_boundaries", type=int, default=1)
     p.add_argument("--optim_iter", type=int, default=100)
@@ -78,6 +80,7 @@ def main(argv=None):
         input_steps=1, output_steps=1, time_interval=1,
         time_stamps=10 if args.is_testdata else 100,
         n_warmup=20 if args.is_testdata else 300,
+        x_band=tuple(args.x_band), y_band=tuple(args.y_band),
     )
     data = generate_airfoil_sims(args.seed + 7, args.n_sims, acfg, cache_dir=args.data_dir)
     ds = AirfoilDataset(data, acfg)

@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_sims", type=int, default=4)
     p.add_argument("--results_folder", default="./results/airfoil")
     p.add_argument("--data_cache", default=None)
+    p.add_argument("--x_band", type=float, nargs=2, default=[0.25, 0.45],
+                   help="boundary placement x band (fraction of grid)")
+    p.add_argument("--y_band", type=float, nargs=2, default=[0.4, 0.6],
+                   help="boundary placement y band; widen (e.g. 0.2 0.8) to "
+                        "support multi-boundary region-partition designs")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--steps_per_launch", type=int, default=1,
                    help="micro-steps fused into one lax.scan device launch")
@@ -71,6 +76,7 @@ def main(argv=None):
         time_interval=args.ts,
         time_stamps=40 if args.is_testdata else 100,
         n_warmup=60 if args.is_testdata else 300,
+        x_band=tuple(args.x_band), y_band=tuple(args.y_band),
     )
     data = generate_airfoil_sims(
         args.seed, args.n_sims, acfg, BDIMConfig(), cache_dir=args.data_cache

@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--is_unittest", type=lambda s: s == "True", default=True)
     p.add_argument("--data_cache", default=None,
                    help="generate_airfoil_sims cache dir shared across CLIs")
+    p.add_argument("--x_band", type=float, nargs=2, default=[0.25, 0.45])
+    p.add_argument("--y_band", type=float, nargs=2, default=[0.4, 0.6])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--is_testdata", type=lambda s: s == "True", default=True)
     p.add_argument("--n_devices", type=int, default=0,
@@ -84,6 +86,7 @@ def main(argv=None):
         input_steps=1, output_steps=max_step, time_interval=1,
         time_stamps=40 if args.is_testdata else 100,
         n_warmup=60 if args.is_testdata else 300,
+        x_band=tuple(args.x_band), y_band=tuple(args.y_band),
     )
     data = generate_airfoil_sims(
         args.seed, args.n_sims, acfg, BDIMConfig(), cache_dir=args.data_cache

@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--is_testdata", type=lambda s: s == "True", default=True)
     p.add_argument("--data_cache", default=None,
                    help="generate_airfoil_sims cache dir shared across CLIs")
+    p.add_argument("--x_band", type=float, nargs=2, default=[0.25, 0.45])
+    p.add_argument("--y_band", type=float, nargs=2, default=[0.4, 0.6])
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -50,6 +52,7 @@ def main(argv=None):
     acfg = AirfoilDatasetConfig(
         time_stamps=40 if args.is_testdata else 100,
         n_warmup=60 if args.is_testdata else 300,
+        x_band=tuple(args.x_band), y_band=tuple(args.y_band),
     )
     data = generate_airfoil_sims(
         args.seed, args.n_sims, acfg, BDIMConfig(), cache_dir=args.data_cache

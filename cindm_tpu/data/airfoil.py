@@ -51,14 +51,25 @@ class AirfoilDatasetConfig:
     n_warmup: int = 300  # LilyPad records from t=300
     grid: int = 64
     crop: int = 62
+    # placement band (fractions of grid). The reference band is x∈[.25,.45],
+    # y∈[.4,.6]; multi-boundary region-partition designs need priors trained
+    # on a WIDER y band (round-4 nb=3 diagnosis: masks fragment outside the
+    # training support) — widen via --y_band on the train CLIs.
+    x_band: tuple = (0.25, 0.45)
+    y_band: tuple = (0.4, 0.6)
 
 
-def sample_boundary_params(rng: np.random.Generator, grid: int = 64) -> dict:
+def sample_boundary_params(
+    rng: np.random.Generator,
+    grid: int = 64,
+    x_band: tuple = (0.25, 0.45),
+    y_band: tuple = (0.4, 0.6),
+) -> dict:
     """Random ellipse/NACA geometry like the reference's designed-boundary
     configs (`LilyPad.pde:110-126`: params (x, y, size, aspect/thick, angle))."""
     kind = int(rng.integers(0, 2))
-    x = float(rng.uniform(grid * 0.25, grid * 0.45))
-    y = float(rng.uniform(grid * 0.4, grid * 0.6))
+    x = float(rng.uniform(grid * x_band[0], grid * x_band[1]))
+    y = float(rng.uniform(grid * y_band[0], grid * y_band[1]))
     angle = float(rng.uniform(-0.4, 0.4))
     if kind == 0:
         h = float(rng.uniform(grid * 0.12, grid * 0.25))
@@ -125,7 +136,11 @@ def generate_airfoil_sims(
         bsz = min(chunk, n_sims - s0)
         coords_b = np.stack(
             [
-                boundary_coords(sample_boundary_params(rng, cfg.grid))
+                boundary_coords(
+                    sample_boundary_params(
+                        rng, cfg.grid, x_band=cfg.x_band, y_band=cfg.y_band
+                    )
+                )
                 for _ in range(bsz)
             ]
         ).astype(np.float32)

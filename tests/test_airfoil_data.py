@@ -23,6 +23,16 @@ def test_sample_boundary_params_deterministic():
     assert c.min() > 0 and c.max() < 64
 
 
+def test_sample_boundary_params_band():
+    """Placement band is parameterizable (wide-band priors for nb>=3
+    region-partition designs, round-4 diagnosis)."""
+    rng = np.random.default_rng(1)
+    for _ in range(32):
+        p = sample_boundary_params(rng, x_band=(0.1, 0.2), y_band=(0.7, 0.9))
+        assert 64 * 0.1 <= p["x"] <= 64 * 0.2
+        assert 64 * 0.7 <= p["y"] <= 64 * 0.9
+
+
 def test_mask_offset_inverse():
     rng = np.random.default_rng(1)
     coords = boundary_coords(sample_boundary_params(rng))
