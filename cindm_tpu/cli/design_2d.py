@@ -18,6 +18,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def make_region_bands(H: int, W: int, nb: int,
+                      lo_frac: float = 0.0, hi_frac: float = 1.0) -> jnp.ndarray:
+    """[nb, H, W] per-boundary horizontal bands with 2-cell gaps: boundary k
+    may only place mask inside its band (zero-inpainted elsewhere at every
+    reverse step — see p_sample_loop_2d region_mask). The [lo_frac, hi_frac)
+    range should be the prior's training placement band so every band lies
+    inside the model's position support."""
+    rows = jnp.arange(H)[:, None] * jnp.ones((1, W))
+    r_lo, r_hi = lo_frac * H, hi_frac * H
+    span = (r_hi - r_lo) / nb
+    bands = []
+    for k in range(nb):
+        lo, hi = r_lo + k * span + 2, r_lo + (k + 1) * span - 2
+        bands.append(((rows >= lo) & (rows < hi)).astype(jnp.float32))
+    return jnp.stack(bands)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Multi-airfoil inverse design (TPU)")
     p.add_argument("--model_path", default="./results/airfoil")
@@ -34,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "mask-centroid separation term (pushes nb>=2 "
                         "boundaries APART instead of shrinking them like "
                         "the overlap penalty)")
+    p.add_argument("--region_band", type=float, nargs=2, default=[0.0, 1.0],
+                   help="fractional y-range [lo, hi) that --region_partition "
+                        "splits into per-boundary bands; set to the prior's "
+                        "training placement band (--y_band at train time) so "
+                        "every band lies inside the model's position support "
+                        "(the round-4 nb=3 fragmentation mechanism)")
     p.add_argument("--region_partition", default="none", choices=["none", "y"],
                    help="'y' assigns each boundary a horizontal band (2-cell "
                         "gaps) and inpaints its mask to zero outside it every "
@@ -149,18 +172,12 @@ def main(argv=None):
             ).reshape(args.batch_size * nb, H, W)
     region_mask = None
     if args.region_partition == "y" and args.num_boundaries > 1:
-        # per-boundary horizontal bands with 2-cell gaps: boundary k may only
-        # place mask inside its band (zero-inpainted elsewhere each step)
         H = W = cfg.image_size
-        nb = args.num_boundaries
-        rows = jnp.arange(H)[:, None] * jnp.ones((1, W))
-        bands = []
-        for k in range(nb):
-            lo, hi = k * H / nb + 2, (k + 1) * H / nb - 2
-            bands.append(((rows >= lo) & (rows < hi)).astype(jnp.float32))
         region_mask = jnp.broadcast_to(
-            jnp.stack(bands)[None], (args.batch_size, nb, H, W)
-        ).reshape(args.batch_size * nb, H, W)
+            make_region_bands(H, W, args.num_boundaries,
+                              *args.region_band)[None],
+            (args.batch_size, args.num_boundaries, H, W),
+        ).reshape(args.batch_size * args.num_boundaries, H, W)
     sched = make_schedule(cfg.timesteps, cfg.beta_schedule)
     eps = lambda x, t: model.apply(params, x, t)
     mesh = None

@@ -25,6 +25,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_HI = jax.lax.Precision.HIGHEST  # GN stats must reduce in f32
+
+
 def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
@@ -90,15 +93,15 @@ def _kernel(x_ref, w_ref, b_ref, gs_ref, gb_ref, o_ref, *, K, groups, eps):
     S = (row == sid).astype(jnp.float32)  # [Bt*T, Bt] row→sample one-hot
 
     denom = 1.0 / (T * og)
-    gsum = jnp.dot(acc, Mg, preferred_element_type=jnp.float32)  # [BtT, G]
-    mean = jnp.dot(S.T, gsum, preferred_element_type=jnp.float32) * denom  # [Bt, G]
-    g2 = jnp.dot(acc * acc, Mg, preferred_element_type=jnp.float32)
-    m2 = jnp.dot(S.T, g2, preferred_element_type=jnp.float32) * denom
+    gsum = jnp.dot(acc, Mg, preferred_element_type=jnp.float32, precision=_HI)  # [BtT, G]
+    mean = jnp.dot(S.T, gsum, preferred_element_type=jnp.float32, precision=_HI) * denom  # [Bt, G]
+    g2 = jnp.dot(acc * acc, Mg, preferred_element_type=jnp.float32, precision=_HI)
+    m2 = jnp.dot(S.T, g2, preferred_element_type=jnp.float32, precision=_HI) * denom
     # broadcast [Bt, G] stats back to [BtT, O]
-    mean_b = jnp.dot(jnp.dot(S, mean, preferred_element_type=jnp.float32), Mg.T,
-                     preferred_element_type=jnp.float32)
-    m2_b = jnp.dot(jnp.dot(S, m2, preferred_element_type=jnp.float32), Mg.T,
-                   preferred_element_type=jnp.float32)
+    mean_b = jnp.dot(jnp.dot(S, mean, preferred_element_type=jnp.float32, precision=_HI), Mg.T,
+                     preferred_element_type=jnp.float32, precision=_HI)
+    m2_b = jnp.dot(jnp.dot(S, m2, preferred_element_type=jnp.float32, precision=_HI), Mg.T,
+                   preferred_element_type=jnp.float32, precision=_HI)
     var_b = m2_b - mean_b * mean_b
     out = (acc - mean_b) * jax.lax.rsqrt(var_b + eps)
     out = out * gs_ref[:][None, :] + gb_ref[:][None, :]
@@ -122,7 +125,8 @@ def fused_conv1d_gn_mish(
     B, T, C = x.shape
     K, _, O = w.shape
     usable = (
-        C % 128 == 0
+        jax.devices()[0].platform != "cpu"  # Mosaic needs the TPU backend
+        and C % 128 == 0
         and O % 128 == 0
         and B % batch_tile == 0
         and (O // groups) % 8 == 0

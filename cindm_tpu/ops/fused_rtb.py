@@ -40,6 +40,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_HI = jax.lax.Precision.HIGHEST  # GN stats must reduce in f32
+
+
 def _mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
@@ -124,14 +127,14 @@ def _conv_gn_mish_tile(x, w_ref, b_ref, gs_ref, gb_ref, *, K, groups, eps):
     S = (row == sid).astype(jnp.float32)  # [Bt*T, Bt]
 
     denom = 1.0 / (T * og)
-    gsum = jnp.dot(acc, Mg, preferred_element_type=jnp.float32)
-    mean = jnp.dot(S.T, gsum, preferred_element_type=jnp.float32) * denom
-    g2 = jnp.dot(acc * acc, Mg, preferred_element_type=jnp.float32)
-    m2 = jnp.dot(S.T, g2, preferred_element_type=jnp.float32) * denom
-    mean_b = jnp.dot(jnp.dot(S, mean, preferred_element_type=jnp.float32), Mg.T,
-                     preferred_element_type=jnp.float32)
-    m2_b = jnp.dot(jnp.dot(S, m2, preferred_element_type=jnp.float32), Mg.T,
-                   preferred_element_type=jnp.float32)
+    gsum = jnp.dot(acc, Mg, preferred_element_type=jnp.float32, precision=_HI)
+    mean = jnp.dot(S.T, gsum, preferred_element_type=jnp.float32, precision=_HI) * denom
+    g2 = jnp.dot(acc * acc, Mg, preferred_element_type=jnp.float32, precision=_HI)
+    m2 = jnp.dot(S.T, g2, preferred_element_type=jnp.float32, precision=_HI) * denom
+    mean_b = jnp.dot(jnp.dot(S, mean, preferred_element_type=jnp.float32, precision=_HI), Mg.T,
+                     preferred_element_type=jnp.float32, precision=_HI)
+    m2_b = jnp.dot(jnp.dot(S, m2, preferred_element_type=jnp.float32, precision=_HI), Mg.T,
+                   preferred_element_type=jnp.float32, precision=_HI)
     var_b = m2_b - mean_b * mean_b
     out = (acc - mean_b) * jax.lax.rsqrt(var_b + eps)
     out = out * gs_ref[:][None, :] + gb_ref[:][None, :]
@@ -148,7 +151,7 @@ def _kernel_proj(x_ref, temb_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
                               K=K, groups=groups, eps=eps)
     # temb broadcast [Bt, O] -> [Bt*T, O] via the sample one-hot on the MXU
     h = h + jnp.dot(S, temb_ref[:].astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=_HI)
     h2, _ = _conv_gn_mish_tile(h.reshape(Bt, T, O), w2_ref, b2_ref,
                                gs2_ref, gb2_ref, K=K, groups=groups, eps=eps)
     res = jnp.dot(x.reshape(Bt * T, C), wres_ref[:],
@@ -165,7 +168,7 @@ def _kernel_id(x_ref, temb_ref, w1_ref, b1_ref, gs1_ref, gb1_ref,
     h, S = _conv_gn_mish_tile(x, w1_ref, b1_ref, gs1_ref, gb1_ref,
                               K=K, groups=groups, eps=eps)
     h = h + jnp.dot(S, temb_ref[:].astype(jnp.float32),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=_HI)
     h2, _ = _conv_gn_mish_tile(h.reshape(Bt, T, O), w2_ref, b2_ref,
                                gs2_ref, gb2_ref, K=K, groups=groups, eps=eps)
     o_ref[:] = (h2 + x.reshape(Bt * T, C).astype(jnp.float32)).reshape(
@@ -197,7 +200,8 @@ def fused_rtb(
     B, T, C = x.shape
     K, _, O = w1.shape
     usable = (
-        C % 128 == 0
+        jax.devices()[0].platform != "cpu"  # Mosaic needs the TPU backend
+        and C % 128 == 0
         and O % 128 == 0
         and B % batch_tile == 0
         and (O // groups) % 8 == 0

@@ -366,3 +366,31 @@ def test_train_baseline_widened_flags(tmp_path):
     assert len(rec["history"]) == 2
     assert rec["history"][0]["val_loss"] is not None
     assert rec["args"]["multi_step"] == "1^2:1e-1"
+
+
+def test_design2d_region_bands_respect_support_band():
+    """--region_band splits the prior's placement band, not full H: every
+    band must lie inside [lo, hi)·H and bands must be disjoint with 2-cell
+    gaps (the round-4 nb=3 fragmentation fix)."""
+    import numpy as np
+    from cindm_tpu.cli.design_2d import make_region_bands
+
+    H = W = 64
+    bands = np.asarray(make_region_bands(H, W, 3, 0.2, 0.8))
+    assert bands.shape == (3, H, W)
+    rows_any = bands.max(axis=2)  # [3, H]
+    # inside the support band only
+    occupied = np.where(rows_any.max(axis=0) > 0)[0]
+    assert occupied.min() >= 0.2 * H + 2 - 1e-6
+    assert occupied.max() < 0.8 * H - 2
+    # disjoint and ordered, each band non-empty and ≥8 rows tall
+    for k in range(3):
+        rk = np.where(rows_any[k] > 0)[0]
+        assert len(rk) >= 8
+        if k:
+            prev = np.where(rows_any[k - 1] > 0)[0]
+            assert rk.min() > prev.max() + 1  # ≥2-cell gap (rounding slack)
+    # default args reproduce the round-4 full-height behaviour
+    full = np.asarray(make_region_bands(H, W, 2))
+    occ = np.where(full.max(axis=(0, 2)) > 0)[0]
+    assert occ.min() == 2 and occ.max() == H - 1 - 2

@@ -104,3 +104,24 @@ def test_generic_unet1d_fourier_time():
     x = jnp.zeros((1, 8, 4))
     params = m.init(jax.random.PRNGKey(0), x, jnp.array([5]))
     assert m.apply(params, x, jnp.array([5])).shape == (1, 8, 4)
+
+
+def test_fused_apply_matches_module():
+    """temporal_unet1d_fused_apply is a drop-in for model.apply on an
+    unchanged param tree (flagship config, horizon 24)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cindm_tpu.models.fused_apply import temporal_unet1d_fused_apply
+    from cindm_tpu.models.unet1d import TemporalUnet1D
+
+    model = TemporalUnet1D(horizon=24, transition_dim=8, dim=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 24, 8))
+    t = jnp.array([1.0, 10.0, 100.0, 999.0])
+    variables = model.init(jax.random.PRNGKey(1), x, t)
+    want = np.asarray(model.apply(variables, x, t))
+    got = np.asarray(
+        temporal_unet1d_fused_apply(model, variables, x, t, batch_tile=2)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
