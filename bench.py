@@ -12,6 +12,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -63,7 +64,14 @@ def main():
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros(1, jnp.int32))
     params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
 
-    base_eps = lambda x, t: model.apply(params, x, t)
+    if os.environ.get("CINDM_FUSED_RTB") == "1":
+        # measured-winner RTB blocks through the Pallas megakernel
+        # (results/fused_rtb_bench.json policy; models/fused_apply.py)
+        from cindm_tpu.models.fused_apply import temporal_unet1d_fused_apply
+
+        base_eps = lambda x, t: temporal_unet1d_fused_apply(model, params, x, t)
+    else:
+        base_eps = lambda x, t: model.apply(params, x, t)
     eps_model = make_composed_eps_model(
         base_eps, compose_n_bodies=N_BODIES, n_composed=N_COMPOSED,
         compose_start_step=CSS, single_model_step=SMS,

@@ -10,6 +10,7 @@ and reports design_obj / MAE / RMSE with 95% CIs
 from __future__ import annotations
 
 import argparse
+import os
 import json
 
 import jax
@@ -108,7 +109,14 @@ def main(argv=None):
     eval_fn = get_eval_fn(target, last_n_step=1)
     eval_each = get_eval_fn_per_sample(target, last_n_step=1)
 
-    eps = lambda x, t: model.apply(params, x, t)
+    if os.environ.get("CINDM_FUSED_RTB") == "1":
+        # measured-winner RTB blocks through the Pallas megakernel; grads
+        # flow through a reference-path VJP (ops/fused_rtb.py)
+        from ..models.fused_apply import temporal_unet1d_fused_apply
+
+        eps = lambda x, t: temporal_unet1d_fused_apply(model, params, x, t)
+    else:
+        eps = lambda x, t: model.apply(params, x, t)
     total_feat = args.compose_n_bodies * 4
     init_img = None
     if args.n_devices > 0:

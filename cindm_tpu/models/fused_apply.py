@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.fused_rtb import fused_rtb
+from ..ops.fused_rtb import fused_rtb_differentiable
 from .blocks import (
     ChannelLayerNorm,
     Conv1d,
@@ -107,7 +107,8 @@ def temporal_unet1d_fused_apply(
             return ResidualTemporalBlock(dim_out).apply({"params": p}, h, t)
         dk = p["Dense_0"]["Dense_0"]
         temb = mish(t) @ dk["kernel"] + dk["bias"]
-        return fused_rtb(h, temb, **_rtb_fused_args(p), batch_tile=batch_tile)
+        return fused_rtb_differentiable(h, temb, **_rtb_fused_args(p),
+                                        batch_tile=batch_tile)
 
     dims = [model.transition_dim] + [model.dim * m for m in model.dim_mults]
     in_out = list(zip(dims[:-1], dims[1:]))

@@ -241,3 +241,36 @@ def fused_rtb(
         ),
         interpret=interpret,
     )(*args)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_rtb_cv(groups, eps, batch_tile, x, temb,
+                  w1, b1, gs1, gb1, w2, b2, gs2, gb2, wres, bres):
+    return fused_rtb(x, temb, w1, b1, gs1, gb1, w2, b2, gs2, gb2, wres, bres,
+                     groups=groups, eps=eps, batch_tile=batch_tile)
+
+
+def _fused_rtb_cv_fwd(groups, eps, batch_tile, *args):
+    return _fused_rtb_cv(groups, eps, batch_tile, *args), args
+
+
+def _fused_rtb_cv_bwd(groups, eps, batch_tile, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: fused_rtb_reference(*a, groups=groups, eps=eps), *res
+    )
+    return vjp(g)
+
+
+_fused_rtb_cv.defvjp(_fused_rtb_cv_fwd, _fused_rtb_cv_bwd)
+
+
+def fused_rtb_differentiable(
+    x, temb, w1, b1, gs1, gb1, w2, b2, gs2, gb2, wres=None, bres=None,
+    groups: int = 8, eps: float = 1e-5, batch_tile: int = 32,
+):
+    """fused_rtb with a VJP: forward runs the Pallas kernel, backward
+    rematerializes through the jnp reference (identical numerics) so
+    guided sampling can differentiate design objectives through the
+    denoiser (`sampling/sampler.py` standard/universal guidance)."""
+    return _fused_rtb_cv(groups, eps, batch_tile, x, temb,
+                         w1, b1, gs1, gb1, w2, b2, gs2, gb2, wres, bres)

@@ -125,3 +125,27 @@ def test_fused_apply_matches_module():
         temporal_unet1d_fused_apply(model, variables, x, t, batch_tile=2)
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_apply_is_differentiable():
+    """Guided sampling takes grads through the eps model: the fused path
+    must expose a VJP (Pallas forward, reference backward) matching the
+    module's gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cindm_tpu.models.fused_apply import temporal_unet1d_fused_apply
+    from cindm_tpu.models.unet1d import TemporalUnet1D
+
+    model = TemporalUnet1D(horizon=24, transition_dim=8, dim=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 24, 8))
+    t = jnp.array([5.0, 50.0, 500.0, 900.0])
+    variables = model.init(jax.random.PRNGKey(1), x, t)
+
+    g_want = jax.grad(lambda x: jnp.sum(model.apply(variables, x, t) ** 2))(x)
+    g_got = jax.grad(lambda x: jnp.sum(
+        temporal_unet1d_fused_apply(model, variables, x, t, batch_tile=2) ** 2
+    ))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-3, atol=1e-4)
