@@ -145,4 +145,32 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon tunnel sometimes wedges a FRESH process at its first device
+    # call: CPU creeps, nothing is printed, and it never recovers (observed
+    # repeatedly 2026-08-19; a relaunched process then succeeds). Run the
+    # bench in a child process with a deadline and retry, so one wedge
+    # can't zero out the scored benchmark.
+    import multiprocessing as mp
+    import sys
+
+    deadline = float(os.environ.get("CINDM_BENCH_ATTEMPT_S", "900"))
+    attempts = int(os.environ.get("CINDM_BENCH_ATTEMPTS", "3"))
+    ctx = mp.get_context("spawn")
+    for i in range(attempts):
+        p = ctx.Process(target=main)
+        p.start()
+        p.join(deadline)
+        if p.is_alive():
+            p.kill()
+            p.join()
+            print(f"bench attempt {i + 1}/{attempts} wedged after "
+                  f"{deadline:.0f}s; relaunching", file=sys.stderr)
+            continue
+        sys.exit(p.exitcode or 0)
+    print(json.dumps({
+        "metric": "composed_8body_guided_ddpm_pairwindow_denoiser_fwds_per_sec",
+        "value": 0.0, "unit": "forwards/s", "vs_baseline": 0.0,
+        "error": f"all {attempts} attempts wedged at device init "
+                 f"(axon tunnel wedge)",
+    }))
+    sys.exit(3)
