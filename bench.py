@@ -35,16 +35,17 @@ FLOPS_PER_PAIRWINDOW_FWD = 1.215e8
 def main():
     from cindm_tpu.core import make_schedule
     from cindm_tpu.utils.cache import enable_compile_cache
-    from cindm_tpu.utils.preflight import require_tpu_reachable
+    from cindm_tpu.utils.preflight import require_tpu_responsive
 
-    # A dead relay makes the first device call hang FOREVER (no error) —
-    # fail fast with a parseable line instead so the driver sees a crash,
-    # not a wedged process.
-    if not require_tpu_reachable(attempts=10, wait_s=6.0):
+    # A dead relay makes the first device call hang FOREVER (no error), and
+    # the second wedge mode hangs device OPS while the port still accepts
+    # TCP — probe both (socket + subprocess device op) and fail fast with a
+    # parseable line so the driver sees a crash, not a wedged process.
+    if not require_tpu_responsive(attempts=6, op_timeout_s=150.0, wait_s=20.0):
         print(json.dumps({
             "metric": "pair_window_denoiser_fwds_per_sec", "value": 0.0,
             "unit": "forwards/s", "vs_baseline": 0.0,
-            "error": "axon relay down: TPU tunnel unreachable on 127.0.0.1:8082",
+            "error": "axon TPU tunnel down or wedged: device op never completed",
         }))
         raise SystemExit(2)
     enable_compile_cache()
