@@ -20,10 +20,13 @@ def main():
     ap.add_argument("--milestone", type=int, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--model", default="nbody2",
-                    choices=["nbody2", "unet2d", "force"],
+                    choices=["nbody2", "unet2d", "force", "raw"],
                     help="model family, to build the state template: "
                          "nbody2 (TemporalUnet1D), unet2d (airfoil "
-                         "diffusion Unet2D, 21ch), force (ForceUnet)")
+                         "diffusion Unet2D, 21ch), force (ForceUnet); "
+                         "raw restores the orbax milestone WITHOUT a "
+                         "template (works for any model — the 1D baseline "
+                         "surrogates have four different architectures)")
     ap.add_argument("--horizon", type=int, default=24)
     ap.add_argument("--n_bodies", type=int, default=2)
     ap.add_argument("--Unet_dim", type=int, default=64)
@@ -46,6 +49,25 @@ def main():
     import jax.numpy as jnp
     from cindm_tpu.train import CheckpointManager, TrainConfig, init_train_state, make_optimizer
     from cindm_tpu.utils.persist import save_npz
+
+    if args.model == "raw":
+        # Template-free: orbax restores the checkpoint's own pytree (plain
+        # nested dicts — the same key-paths a fresh flax init produces, so
+        # load_npz against a proper template consumes every key later).
+        mngr = CheckpointManager(args.results_folder)
+        state = mngr.load(args.milestone)
+        step = int(state["step"])
+        out = args.out or os.path.join(args.results_folder,
+                                       f"persisted_m{step}.npz")
+        dtype = None
+        if args.dtype is not None:
+            import ml_dtypes
+
+            dtype = getattr(ml_dtypes, args.dtype, None) or args.dtype
+        save_npz(state, out, ema_only=args.ema_only, dtype=dtype)
+        print(f"persisted step {step} -> {out} "
+              f"({os.path.getsize(out) / 1e6:.1f} MB)")
+        return
 
     if args.model == "nbody2":
         from cindm_tpu.models.unet1d import TemporalUnet1D
