@@ -82,6 +82,7 @@ def main():
     ]
     t_dt = t_fl = t_by = 0.0
     for (t_len, c_in, c_out) in res_blocks:
+        print(f"# timing RTB T={t_len} {c_in}->{c_out}", flush=True)
         mod = ResidualTemporalBlock(c_out)
         x = jnp.zeros((B, t_len, c_in), jnp.float32)
         temb = jnp.zeros((B, T_EMB), jnp.float32)
@@ -100,6 +101,7 @@ def main():
                    (3, 512), (6, 256), (12, 128)]
     t_dt = t_fl = t_by = 0.0
     for (t_len, c) in attn_shapes:
+        print(f"# timing attn T={t_len} C={c}", flush=True)
         mod = PreNormResidual(c, LinearAttentionTemporal(c))
         x = jnp.zeros((B, t_len, c), jnp.float32)
         params = mod.init(jax.random.PRNGKey(0), x)
@@ -121,6 +123,7 @@ def main():
               ("up", Upsample1d(64), (12, 64))]
     t_dt = t_fl = t_by = 0.0
     for (_, mod, (t_len, c)) in updown:
+        print(f"# timing resample T={t_len} C={c}", flush=True)
         x = jnp.zeros((B, t_len, c), jnp.float32)
         params = mod.init(jax.random.PRNGKey(0), x)
         dt, fl, by = timed(lambda x: mod.apply(params, x), x)
@@ -148,6 +151,7 @@ def main():
         rows.append(rec); print(json.dumps(rec), flush=True)
 
     # whole model at the same fold-slice batch
+    print("# timing whole model", flush=True)
     model = TemporalUnet1D(horizon=24, transition_dim=8, dim=DIM, attention=True)
     x = jnp.zeros((B, 24, 8), jnp.float32)
     t = jnp.zeros((B,), jnp.int32)
