@@ -122,6 +122,10 @@ if __name__ == "__main__":
         if (re, n, t_end) in done:
             print(f"skip re={re} n={n} t_end={t_end} (have row)", flush=True)
             return
+        # heartbeat BEFORE the long remote compile so log-silence
+        # watchdogs don't shoot a healthy run (round-5: first compiles
+        # took 10-15 min on a loaded compile server)
+        print(f"running re={re} n={n} t_end={t_end} ...", flush=True)
         emit(run(re, n, **kw))
 
     # Re 40: steady by t*~30 (t* = t·U/D); record once settled
