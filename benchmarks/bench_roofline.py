@@ -64,6 +64,14 @@ def main():
     enable_compile_cache()
     rows = []
 
+    def dump(extra=None):
+        # partial write after every class: a hard-killed run keeps its rows
+        out = {"parts": rows}
+        if extra:
+            out.update(extra)
+        with open("results/roofline.json", "w") as f:
+            json.dump(out, f, indent=1)
+
     # Stage geometry for horizon 24, mults (1,2,4,8): down flags (T,T,T,F)
     # → resolutions 24, 12, 6, 3 (`models/unet1d.py:_stage_flags`).
     # Down path blocks: (24,8→64)(24,64→64) | (12,64→128)(12,128) |
@@ -95,7 +103,7 @@ def main():
            "mb_accessed_total": round(t_by / 1e6, 1),
            "arith_intensity": round(t_fl / max(t_by, 1.0), 1),
            "bound": "compute" if t_fl / max(t_by, 1.0) > RIDGE else "bytes"}
-    rows.append(rec); print(json.dumps(rec), flush=True)
+    rows.append(rec); print(json.dumps(rec), flush=True); dump()
 
     attn_shapes = [(24, 64), (12, 128), (6, 256), (3, 512), (3, 512),
                    (3, 512), (6, 256), (12, 128)]
@@ -113,7 +121,7 @@ def main():
            "mb_accessed_total": round(t_by / 1e6, 1),
            "arith_intensity": round(t_fl / max(t_by, 1.0), 1),
            "bound": "compute" if t_fl / max(t_by, 1.0) > RIDGE else "bytes"}
-    rows.append(rec); print(json.dumps(rec), flush=True)
+    rows.append(rec); print(json.dumps(rec), flush=True); dump()
 
     updown = [("down", Downsample1d(64), (24, 64)),
               ("down", Downsample1d(128), (12, 128)),
@@ -134,7 +142,7 @@ def main():
            "mb_accessed_total": round(t_by / 1e6, 1),
            "arith_intensity": round(t_fl / max(t_by, 1.0), 1),
            "bound": "compute" if t_fl / max(t_by, 1.0) > RIDGE else "bytes"}
-    rows.append(rec); print(json.dumps(rec), flush=True)
+    rows.append(rec); print(json.dumps(rec), flush=True); dump()
 
     # final head: Conv1dBlock(64, k5) at (24, 64→... wait input is 64) + 1x1
     for name, mod, shape in [("final Conv1dBlock+1x1",
@@ -148,7 +156,7 @@ def main():
                "mb_accessed_total": round(by / 1e6, 1),
                "arith_intensity": round(fl / max(by, 1.0), 1),
                "bound": "compute" if fl / max(by, 1.0) > RIDGE else "bytes"}
-        rows.append(rec); print(json.dumps(rec), flush=True)
+        rows.append(rec); print(json.dumps(rec), flush=True); dump()
 
     # whole model at the same fold-slice batch
     print("# timing whole model", flush=True)
@@ -167,7 +175,7 @@ def main():
         "hbm_util": round(by / dt / V5E_HBM_BPS, 4),
         "sum_of_parts_ms": round(sum(r["ms_per_fwd_total"] for r in rows), 3),
     }
-    print(json.dumps(whole), flush=True)
+    print(json.dumps(whole), flush=True); dump({"whole": whole})
 
     # bf16 body for reference (RESULTS.md round-2: no uplift expected — f32
     # matmuls already ride the bf16 MXU path; this documents whether the
@@ -185,9 +193,7 @@ def main():
         "hbm_util": round(by16 / dt16 / V5E_HBM_BPS, 4),
     }
     print(json.dumps(whole16), flush=True)
-    out = {"parts": rows, "whole": whole, "whole_bf16": whole16}
-    with open("results/roofline.json", "w") as f:
-        json.dump(out, f, indent=1)
+    dump({"whole": whole, "whole_bf16": whole16})
 
 
 if __name__ == "__main__":
