@@ -122,6 +122,9 @@ def timed(model, params, B, H, iters, scan_len=20):
 
 
 def main():
+    from cindm_tpu.utils.heartbeat import start_heartbeat
+
+    start_heartbeat()  # log-liveness under the queue watchdog
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=5376)
     ap.add_argument("--iters", type=int, default=5)

@@ -37,6 +37,9 @@ CINDM_ROWS = [
 
 
 def main():
+    from cindm_tpu.utils.heartbeat import start_heartbeat
+
+    start_heartbeat()  # log-liveness under the queue watchdog
     ap = argparse.ArgumentParser()
     ap.add_argument("--diffusion_path", default="./results/nbody2_paper")
     ap.add_argument("--out", default="./results/tables_paper.json")

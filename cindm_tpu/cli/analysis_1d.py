@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ..utils.heartbeat import start_heartbeat
+
+    start_heartbeat()  # log-liveness under the queue watchdog
     from ..core import make_schedule
     from ..data.nbody import NBodyDataset, NBodyDatasetConfig
     from ..models import TemporalUnet1D

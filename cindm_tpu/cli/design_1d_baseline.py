@@ -63,6 +63,9 @@ def _load_ema_params(args, params, CheckpointManager, TrainConfig,
 
 
 def main(argv=None):
+    from ..utils.heartbeat import start_heartbeat
+
+    start_heartbeat()  # log-liveness under the queue watchdog
     from ..baselines import (
         BackpropConfig,
         CEMConfig,

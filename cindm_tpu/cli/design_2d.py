@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ..utils.heartbeat import start_heartbeat
+
+    start_heartbeat()  # log-liveness under the queue watchdog
     from ..core import make_schedule
     from ..models.unet2d import ForceUnet, Unet2D
     from ..sampling.diffusion2d import Diffusion2DConfig, p_sample_loop_2d

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ..utils.heartbeat import start_heartbeat
+
+    start_heartbeat()  # log-liveness under the queue watchdog
     from ..core import make_schedule
     from ..data.airfoil import AirfoilDataset, AirfoilDatasetConfig, generate_airfoil_sims
     from ..models.unet2d import Unet2D

@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ..utils.heartbeat import start_heartbeat
+
+    start_heartbeat()  # log-liveness under the queue watchdog
     from ..baselines import FNO2d, LEPDE, LEPDEConfig, lepde_loss
     from ..data.airfoil import AirfoilDataset, AirfoilDatasetConfig, generate_airfoil_sims
     from ..physics.bdim import BDIMConfig

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ..utils.heartbeat import start_heartbeat
+
+    start_heartbeat()  # log-liveness under the queue watchdog
     from ..data.airfoil import AirfoilDatasetConfig, generate_airfoil_sims
     from ..models.unet2d import ForceUnet
     from ..physics.bdim import BDIMConfig
