@@ -324,3 +324,17 @@ if [ ! -f results/designs/.tablesbase_r5 ] && [ "$(left)" -gt 3600 ]; then
 fi
 
 echo "R5_QUEUE2_DONE @ $(date -u +%H:%M:%S) left=$(left)s"
+
+# ---- F0c. (8,0) 24-step row at batch 500 (appended tail; runs only if
+#      window remains — completes the 8-body paper-protocol pair) ----
+if [ ! -s results/tables_paper_b500_8b0.json ] && [ "$(left)" -gt 2400 ]; then
+  wd 3600 /tmp/r5_flag500c.log \
+    python benchmarks/run_tables_paper.py \
+      --diffusion_path ./results/nbody2_coll --skip_baselines \
+      --only_bodies 8 --only_composed 0 --batch_size 500 \
+      --flagship_winner results/designs/8body_T54_winner_b64.json \
+      --out ./results/tables_paper_b500_8b0.json
+  rc=$?; status flagship_b500_8b0 $rc
+  [ "$rc" -eq 0 ] && ci "8-body/24-step row at the paper's batch 500" results/tables_paper_b500_8b0.json
+fi
+echo "R5_QUEUE2_TAIL_DONE @ $(date -u +%H:%M:%S) left=$(left)s"
