@@ -150,7 +150,19 @@ def main(argv=None):
         # into the band after release and merge). Blobs are anisotropic
         # (airfoil-like, longer along the flow).
         cx = 0.35 * W
-        if nb > 1:
+        if args.region_partition == "y" and nb > 1:
+            # stations at the REGION-BAND centers: each boundary's nucleus
+            # lands inside its own band, so the region zero-inpaint cannot
+            # starve it (round-5 nb=3 finding: region partition alone left
+            # exactly one of three 12-px bands empty — `mask px 0` — the
+            # prior nucleates at most two sites that far apart on its own)
+            lo, hi = args.region_band
+            span = (hi - lo) / nb
+            centers_y = jnp.array(
+                [(lo + (k + 0.5) * span) * H for k in range(nb)]
+            )
+            sy = max(2.0, 0.3 * span * H)
+        elif nb > 1:
             centers_y = jnp.linspace(0.4 * H, 0.6 * H, nb)
             sy = 0.35 * float(centers_y[1] - centers_y[0])
         else:
