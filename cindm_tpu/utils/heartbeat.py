@@ -25,6 +25,7 @@ from typing import Optional
 
 
 _started: list = []
+_stop = threading.Event()
 
 
 def start_heartbeat(period_s: float = 240.0, tag: str = "hb") -> Optional[threading.Thread]:
@@ -35,11 +36,11 @@ def start_heartbeat(period_s: float = 240.0, tag: str = "hb") -> Optional[thread
         return None
     if forced != "1" and "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return None
+    _stop.clear()
     t0 = time.time()
 
     def run():
-        while True:
-            time.sleep(period_s)
+        while not _stop.wait(period_s):
             # leading '[' keeps these lines invisible to the queue's
             # last-JSON-line extractor (rec() greps '^{')
             print(f"[{tag} alive {time.time() - t0:.0f}s]", flush=True)
@@ -48,3 +49,9 @@ def start_heartbeat(period_s: float = 240.0, tag: str = "hb") -> Optional[thread
     th.start()
     _started.append(th)
     return th
+
+
+def stop_heartbeat() -> None:
+    """Stop the singleton thread (tests; CLIs just exit — it's a daemon)."""
+    _stop.set()
+    _started.clear()

@@ -28,12 +28,18 @@ def test_forced_off(monkeypatch):
 def test_singleton_and_prints(monkeypatch, capsys):
     monkeypatch.setenv("CINDM_HEARTBEAT", "1")
     monkeypatch.setattr(heartbeat, "_started", [])
-    t1 = heartbeat.start_heartbeat(period_s=0.05)
-    assert isinstance(t1, threading.Thread) and t1.daemon
-    t2 = heartbeat.start_heartbeat(period_s=0.05)
-    assert t2 is t1  # one thread per process no matter how many CLI mains
-    import time
+    try:
+        t1 = heartbeat.start_heartbeat(period_s=0.05)
+        assert isinstance(t1, threading.Thread) and t1.daemon
+        t2 = heartbeat.start_heartbeat(period_s=0.05)
+        assert t2 is t1  # one thread per process no matter how many CLI mains
+        import time
 
-    time.sleep(0.2)
-    out = capsys.readouterr().out
-    assert "[hb alive" in out
+        time.sleep(0.2)
+        out = capsys.readouterr().out
+        assert "[hb alive" in out
+    finally:
+        # the daemon must not keep printing into the rest of the session
+        heartbeat.stop_heartbeat()
+        t1.join(timeout=1.0)
+        assert not t1.is_alive()
